@@ -1,0 +1,130 @@
+"""Qwen3 model tests: full-forward vs cached-step equivalence.
+
+Mirrors the reference's cross-implementation equivalence strategy
+(tests_refsol/test_week_3_day_3.py:305-321: token-by-token logprob match
+between cache variants).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tiny_llm_tpu.models import (
+    Qwen3Model,
+    random_params,
+    tiny_test_config,
+)
+from .utils import assert_allclose
+
+
+@pytest.fixture(scope="module", params=["dense", "quantized"])
+def model(request):
+    cfg = tiny_test_config(num_hidden_layers=2)
+    params = random_params(cfg, key=0, quantized=(request.param == "quantized"))
+    return Qwen3Model(params, cfg, max_seq_len=256)
+
+
+def test_forward_full_shape(model):
+    tokens = jnp.asarray([[1, 5, 9, 2]], dtype=jnp.int32)
+    logits = model(tokens)
+    assert logits.shape == (1, 4, model.vocab_size)
+    assert not np.any(np.isnan(np.asarray(logits, dtype=np.float32)))
+
+
+def test_logits_to_keep(model):
+    tokens = jnp.asarray([[1, 5, 9, 2]], dtype=jnp.int32)
+    full = model(tokens)
+    last = model(tokens, logits_to_keep=1)
+    assert last.shape == (1, 1, model.vocab_size)
+    assert_allclose(last[0, 0], full[0, -1], jnp.bfloat16)
+
+
+def test_cached_prefill_matches_full(model):
+    tokens = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], dtype=jnp.int32)
+    full = model(tokens)
+    cache = model.create_kv_cache()
+    cached = model(tokens, 0, cache)
+    assert cache.offset == 8
+    assert_allclose(cached, full, jnp.bfloat16, atol=5e-2)
+
+
+def test_decode_steps_match_full(model):
+    """Prefill + single-token decode steps must reproduce the full-prefix
+    forward logits position by position."""
+    ids = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    tokens = jnp.asarray([ids], dtype=jnp.int32)
+    full = np.asarray(model(tokens), dtype=np.float32)
+
+    cache = model.create_kv_cache()
+    prefix = 4
+    model(tokens[:, :prefix], 0, cache)
+    for i in range(prefix, len(ids)):
+        step_logits = model(tokens[:, i : i + 1], i, cache, logits_to_keep=1)
+        got = np.asarray(step_logits, dtype=np.float32)[0, 0]
+        assert_allclose(got, full[0, i], jnp.bfloat16, atol=5e-2,
+                        message=f"position {i}")
+    assert cache.offset == len(ids)
+
+
+def test_chunked_prefill_matches_full(model):
+    """Chunked prefill (the continuous-batching admission path,
+    batch.py:42-66) must equal one-shot prefill."""
+    ids = [7, 3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 8]
+    tokens = jnp.asarray([ids], dtype=jnp.int32)
+    full = np.asarray(model(tokens), dtype=np.float32)
+    cache = model.create_kv_cache()
+    chunk = 5
+    off = 0
+    last = None
+    while off < len(ids):
+        n = min(chunk, len(ids) - off)
+        last = model(tokens[:, off : off + n], off, cache, logits_to_keep=1)
+        off += n
+    assert cache.offset == len(ids)
+    assert_allclose(
+        np.asarray(last, np.float32)[0, 0], full[0, -1], jnp.bfloat16, atol=5e-2
+    )
+
+
+def test_rewind_then_redecode(model):
+    """Speculative-decoding contract: rewind must restore the cache so that
+    re-appending produces identical logits (kv_cache.py:59-67)."""
+    ids = [3, 1, 4, 1, 5, 9]
+    tokens = jnp.asarray([ids], dtype=jnp.int32)
+    cache = model.create_kv_cache()
+    model(tokens, 0, cache)
+
+    step = jnp.asarray([[7]], dtype=jnp.int32)
+    first = np.asarray(model(step, 6, cache, logits_to_keep=1), np.float32)
+    assert cache.offset == 7
+    cache.rewind(1)
+    assert cache.offset == 6
+    again = np.asarray(model(step, 6, cache, logits_to_keep=1), np.float32)
+    np.testing.assert_allclose(first, again, rtol=1e-5)
+
+
+def test_batched_rows_with_different_offsets(model):
+    """Per-row offsets: a batch where row 0 has context 5 and row 1 has
+    context 3 must match the same requests run alone."""
+    a = [3, 1, 4, 1, 5]
+    b = [9, 2, 6]
+    ca = model.create_kv_cache()
+    cb = model.create_kv_cache()
+    model(jnp.asarray([a]), 0, ca)
+    model(jnp.asarray([b]), 0, cb)
+    la = np.asarray(model(jnp.asarray([[7]]), 5, ca, logits_to_keep=1), np.float32)
+    lb = np.asarray(model(jnp.asarray([[8]]), 3, cb, logits_to_keep=1), np.float32)
+
+    batch = model.create_batching_kv_cache(max_active_requests=2, max_seq_len=64)
+    ca2 = model.create_kv_cache()
+    cb2 = model.create_kv_cache()
+    model(jnp.asarray([a]), 0, ca2)
+    model(jnp.asarray([b]), 0, cb2)
+    batch.add_request(ca2, 0)
+    batch.add_request(cb2, 1)
+    out = model(jnp.asarray([[7], [8]]), [5, 3], batch, logits_to_keep=1)
+    out = np.asarray(out, np.float32)
+    assert_allclose(out[0, 0], la[0, 0], jnp.bfloat16, atol=5e-2)
+    assert_allclose(out[1, 0], lb[0, 0], jnp.bfloat16, atol=5e-2)
+    assert list(batch.offsets) == [6, 4]

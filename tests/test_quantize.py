@@ -1,0 +1,148 @@
+"""Quantization layout + numerics tests.
+
+Mirrors the reference's week-2 day-3 strategy
+(tests_refsol/test_week_2_day_3.py): quantize/dequantize round-trips,
+quantized matmul vs the dequantized oracle at both toy and real shapes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tiny_llm_tpu.ops import (
+    QuantizedTensor,
+    dequantize,
+    from_mlx_packing,
+    quantize,
+    quantized_linear,
+    quantized_embedding_gather,
+)
+from tiny_llm_tpu.ops.quantize import (
+    pack_supergroup,
+    supergroup_values,
+    unpack_mlx,
+    unpack_supergroup,
+)
+from tiny_llm_tpu.kernels import quantized_matmul
+from .utils import assert_allclose
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    for N, K in [(4, 1024), (8, 2048), (3, 1024)]:
+        q = rng.integers(0, 16, size=(N, K), dtype=np.uint32)
+        packed = pack_supergroup(jnp.asarray(q), 128, 4)
+        assert packed.shape == (N, K // 8)
+        out = unpack_supergroup(packed, K, 128, 4)
+        np.testing.assert_array_equal(np.asarray(out), q.astype(np.int32))
+
+
+def test_supergroup_layout_definition():
+    """Nibble-plane j of word w in supergroup sg = value sg*1024 + j*128 + w."""
+    K = 1024
+    q = np.arange(K, dtype=np.uint32) % 16
+    packed = np.asarray(pack_supergroup(jnp.asarray(q[None]), 128, 4))[0]
+    for w in [0, 17, 127]:
+        for j in range(8):
+            expect = q[j * 128 + w]
+            got = (packed[w] >> (4 * j)) & 0xF
+            assert got == expect, (w, j)
+
+
+def test_unpack_mlx_layout():
+    """MLX packs consecutive values little-endian within each uint32."""
+    vals = np.arange(8, dtype=np.uint32) % 16
+    word = 0
+    for i, v in enumerate(vals):
+        word |= int(v) << (4 * i)
+    out = unpack_mlx(jnp.asarray([[word]], dtype=jnp.uint32), 4)
+    np.testing.assert_array_equal(np.asarray(out)[0], vals.astype(np.int32))
+
+
+@pytest.mark.parametrize("shape", [(16, 1024), (10, 2560), (64, 128)])
+def test_quantize_dequantize_roundtrip(shape):
+    w = jax.random.normal(jax.random.key(0), shape, dtype=jnp.float32)
+    qt = quantize(w, group_size=128, bits=4)
+    w_hat = dequantize(qt, dtype=jnp.float32)
+    assert w_hat.shape == shape
+    # 4-bit affine error bound: half a quantization step per element, plus
+    # bf16 rounding of the stored scales/biases (|q*Δs| <= 15*s*2^-9,
+    # |Δb| <= |min|*2^-9).
+    step = np.abs(np.asarray(qt.scales, dtype=np.float32)).max()
+    err = np.abs(np.asarray(w_hat) - np.asarray(w)).max()
+    assert err <= step * 0.55 + 0.03, (err, step)
+
+
+def test_from_mlx_packing_matches_mlx_dequant():
+    """Ingesting MLX-packed data must reproduce MLX's dequantization
+    (reference quantize.py:103-121)."""
+    rng = np.random.default_rng(1)
+    N, K, gs = 6, 256, 128
+    q = rng.integers(0, 16, size=(N, K), dtype=np.uint32)
+    # MLX pack: 8 consecutive values per word, little-endian.
+    words = np.zeros((N, K // 8), dtype=np.uint32)
+    for i in range(8):
+        words |= q[:, i::8] << (4 * i)
+    # careful: MLX packs q[:, 8p + i] into nibble i of word p:
+    words = np.zeros((N, K // 8), dtype=np.uint32)
+    for p in range(K // 8):
+        for i in range(8):
+            words[:, p] |= q[:, 8 * p + i] << (4 * i)
+    scales = rng.uniform(0.01, 0.2, size=(N, K // gs)).astype(np.float32)
+    biases = rng.uniform(-1, 1, size=(N, K // gs)).astype(np.float32)
+    qt = from_mlx_packing(jnp.asarray(words), jnp.asarray(scales), jnp.asarray(biases), gs, 4)
+    w_hat = np.asarray(dequantize(qt, dtype=jnp.float32))
+    expected = (
+        q.reshape(N, K // gs, gs) * scales[..., None] + biases[..., None]
+    ).reshape(N, K)
+    # bf16 scales/biases storage rounds; compare with bf16 tolerance.
+    assert_allclose(w_hat, expected, jnp.bfloat16)
+
+
+@pytest.mark.parametrize("rows", [1, 8, 100])
+@pytest.mark.parametrize("shape", [(256, 1024), (300, 2560)])
+def test_quantized_matmul_xla_vs_oracle(rows, shape):
+    N, K = shape
+    w = jax.random.normal(jax.random.key(0), (N, K), dtype=jnp.float32) * 0.05
+    x = jax.random.normal(jax.random.key(1), (rows, K), dtype=jnp.bfloat16)
+    qt = quantize(w)
+    expected = x.astype(jnp.float32) @ dequantize(qt, jnp.float32).T
+    got = quantized_matmul(x, qt, impl="xla")
+    assert got.dtype == x.dtype
+    assert_allclose(got, expected, jnp.bfloat16, atol=0.5)
+
+
+@pytest.mark.parametrize("rows", [1, 8, 100])
+def test_quantized_matmul_pallas_interpret_vs_xla(rows):
+    """Pallas kernel (interpret mode on CPU) must match the XLA path."""
+    N, K = 256, 2560
+    w = jax.random.normal(jax.random.key(0), (N, K), dtype=jnp.float32) * 0.05
+    x = jax.random.normal(jax.random.key(1), (rows, K), dtype=jnp.bfloat16)
+    qt = quantize(w)
+    expected = quantized_matmul(x, qt, impl="xla")
+    got = quantized_matmul(x, qt, impl="pallas", interpret=True)
+    assert_allclose(got, expected, jnp.bfloat16, atol=0.2)
+
+
+def test_quantized_matmul_bias_and_leading_dims():
+    N, K = 128, 1024
+    w = jax.random.normal(jax.random.key(0), (N, K)) * 0.05
+    x = jax.random.normal(jax.random.key(1), (2, 3, K), dtype=jnp.bfloat16)
+    b = jax.random.normal(jax.random.key(2), (N,), dtype=jnp.float32)
+    qt = quantize(w)
+    got = quantized_linear(x, qt, bias=b, impl="xla")
+    assert got.shape == (2, 3, N)
+    expected = x.reshape(-1, K).astype(jnp.float32) @ dequantize(qt, jnp.float32).T + b
+    assert_allclose(got.reshape(-1, N), expected, jnp.bfloat16, atol=0.5)
+
+
+def test_quantized_embedding_gather_matches_dequant_rows():
+    V, D = 64, 256
+    w = jax.random.normal(jax.random.key(0), (V, D)) * 0.1
+    qt = quantize(w)
+    ids = jnp.asarray([[0, 5, 63], [10, 10, 2]], dtype=jnp.int32)
+    got = quantized_embedding_gather(qt, ids)
+    expected = jnp.take(dequantize(qt, jnp.float32), ids, axis=0)
+    assert got.shape == (2, 3, D)
+    assert_allclose(got, expected, jnp.bfloat16)

@@ -1,0 +1,328 @@
+"""Pallas flash attention (dense KV): decode + prefill kernels.
+
+TPU replacement for the reference Metal kernels:
+  - decode: week2_kernels.metal:119-235 (online-softmax flash decode) and
+    paged_attention.metal:108-244's numerics (running max/sum rescale).
+  - prefill: paged_attention.metal:250-506 (BQ x BK tiled FlashAttention
+    with causal tile clamp), minus the page indirection (dense buffers).
+
+Schedule notes (TPU-first):
+  * Grid iterates KV tiles innermost; m/l/acc live in VMEM scratch across
+    tiles of one (batch, head) program — the sequential-grid accumulation
+    idiom that replaces the Metal kernels' cross-simdgroup reductions.
+  * Per-row context lengths ride in as scalar-prefetch args; the KV
+    index_map CLAMPS the tile index at each row's last valid tile, so
+    fully-masked tiles re-reference the previous block and the pipeline
+    elides their DMA — variable-length batches cost bandwidth proportional
+    to their true context, like the reference's page-walk early exit.
+  * exp/softmax statistics in f32 on the VPU; QK^T and PV on the MXU with
+    f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_inner(
+    q,  # [R, D] f32 — query rows (pre-scaled)
+    k,  # [BS, D] bf16
+    v,  # [BS, D] bf16
+    q_pos,  # [R, 1] i32 absolute positions of query rows
+    tile_start,  # i32 — absolute position of k[0]
+    m_ref,  # [R, 128] f32 scratch (running max, broadcast on lanes)
+    l_ref,  # [R, 128] f32 scratch (running denominator)
+    acc_ref,  # [R, D] f32 scratch
+):
+    """One KV tile of online-softmax attention for R query rows."""
+    BS = k.shape[0]
+    s = jax.lax.dot_general(
+        q.astype(jnp.bfloat16),
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, BS]
+    k_pos = tile_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]  # [R, 1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)  # [R, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)  # [R, 1]
+    p = jnp.exp(s - m_new)  # [R, BS]
+    l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(jnp.bfloat16),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+
+def _decode_kernel(
+    # scalar prefetch
+    lens_ref,  # [B] i32
+    # inputs
+    q_ref,  # [1, n_rep, L, D]
+    k_ref,  # [1, 1, BS, D]
+    v_ref,  # [1, 1, BS, D]
+    # outputs
+    o_ref,  # [1, n_rep, L, D]
+    # scratch
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    bs: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    n_rep, L, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    R = n_rep * L
+    ctx = lens_ref[b]
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s * bs < ctx)
+    def _():
+        q = q_ref[0].reshape(R, D).astype(jnp.float32) * scale
+        # Row r = (head_rep, l): absolute query position = ctx - L + l.
+        l_idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % L
+        q_pos = ctx - L + l_idx
+        _flash_inner(
+            q,
+            k_ref[0, 0],
+            v_ref[0, 0],
+            q_pos,
+            s * bs,
+            m_ref,
+            l_ref,
+            acc_ref,
+        )
+
+    @pl.when(s == pl.num_programs(2) - 1)
+    def _():
+        out = acc_ref[:] / l_ref[:, :1]
+        o_ref[0] = out.reshape(1, n_rep, L, D).astype(o_ref.dtype)[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "bs", "interpret")
+)
+def _flash_decode(
+    q: jax.Array,  # [B, Hq, L, D]
+    k: jax.Array,  # [B, Hkv, S, D]
+    v: jax.Array,
+    lens: jax.Array,  # [B] i32
+    scale: float,
+    bs: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    B, Hq, L, D = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    n_rep = Hq // Hkv
+    bs = min(bs, S)
+    n_tiles = pl.cdiv(S, bs)
+    R = n_rep * L
+
+    def q_map(lens_ref, b, h, s):
+        return (b, h, 0, 0)
+
+    def kv_map(lens_ref, b, h, s):
+        # Clamp at the row's last valid tile: fully-masked tiles re-fetch
+        # the same block and the pipeline elides the DMA.
+        last = jnp.maximum((lens_ref[b] + bs - 1) // bs - 1, 0)
+        return (b, h, jnp.minimum(s, last), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, n_rep, L, D), q_map),
+            pl.BlockSpec((1, 1, bs, D), kv_map),
+            pl.BlockSpec((1, 1, bs, D), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, n_rep, L, D), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, D), jnp.float32),
+        ],
+    )
+    qg = q.reshape(B, Hkv, n_rep, L, D).reshape(B, Hkv, n_rep * L, D)
+    # Keep logical layout [B, Hkv, n_rep, L, D] -> blocks want [1, n_rep, L, D]
+    qg = q.reshape(B, Hkv, n_rep, L, D)
+
+    kernel = functools.partial(_decode_kernel, bs=bs, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, n_rep, L, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * L * S * D,
+            bytes_accessed=2 * B * Hkv * S * D * 2,
+            transcendentals=B * Hq * L * S,
+        ),
+        interpret=interpret,
+    )(lens.astype(jnp.int32), qg, k, v)
+    return out.reshape(B, Hq, L, D)
+
+
+def _prefill_kernel(
+    lens_ref,  # [B] i32
+    q_ref,  # [1, 1, BQ, D]
+    k_ref,  # [1, 1, BS, D]
+    v_ref,
+    o_ref,  # [1, 1, BQ, D]
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    bq: int,
+    bs: int,
+    L: int,
+    scale: float,
+    causal: bool,
+):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    s = pl.program_id(3)
+    BQ, D = q_ref.shape[2], q_ref.shape[3]
+    ctx = lens_ref[b]
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Causal clamp: this q tile's max absolute position.
+    row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)  # in [0, L)
+    q_pos = ctx - L + row
+    if causal:
+        tile_max_pos = ctx - L + (iq + 1) * bq - 1
+    else:
+        q_pos = jnp.broadcast_to(ctx - 1, (BQ, 1))
+        tile_max_pos = ctx - 1
+    live = s * bs <= jnp.minimum(tile_max_pos, ctx - 1)
+
+    @pl.when(live)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        _flash_inner(
+            q, k_ref[0, 0], v_ref[0, 0], q_pos, s * bs, m_ref, l_ref, acc_ref
+        )
+
+    @pl.when(s == pl.num_programs(3) - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "causal", "bq", "bs", "interpret")
+)
+def _flash_prefill(
+    q: jax.Array,  # [B, Hq, L, D]
+    k: jax.Array,  # [B, Hkv, S, D]
+    v: jax.Array,
+    lens: jax.Array,
+    scale: float,
+    causal: bool,
+    bq: int = 256,
+    bs: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    B, Hq, L, D = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    n_rep = Hq // Hkv
+    bq = min(bq, L)
+    bs = min(bs, S)
+    nq = pl.cdiv(L, bq)
+    ns = pl.cdiv(S, bs)
+
+    def q_map(lens_ref, b, h, iq, s):
+        return (b, h, iq, 0)
+
+    def kv_map(lens_ref, b, h, iq, s):
+        last = jnp.maximum((lens_ref[b] + bs - 1) // bs - 1, 0)
+        return (b, h // n_rep, jnp.minimum(s, last), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hq, nq, ns),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), q_map),
+            pl.BlockSpec((1, 1, bs, D), kv_map),
+            pl.BlockSpec((1, 1, bs, D), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, D), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_kernel, bq=bq, bs=bs, L=L, scale=scale, causal=causal
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, L, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * L * S * D,
+            bytes_accessed=2 * B * Hkv * S * D * 2 + 2 * B * Hq * L * D * 2,
+            transcendentals=B * Hq * L * S,
+        ),
+        interpret=interpret,
+    )(lens.astype(jnp.int32), q, k, v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Public entry points used by kernels/flash_attention.py dispatch.
+# ---------------------------------------------------------------------------
+
+
+def flash_decode_attention_pallas(
+    q, k, v, lens, scale=None, interpret: bool = False
+):
+    D = q.shape[-1]
+    scale = (D**-0.5) if scale is None else scale
+    return _flash_decode(q, k, v, lens, scale=float(scale), interpret=interpret)
+
+
+def flash_attention_pallas(
+    q, k, v, scale=None, mask=None, lens=None, interpret: bool = False
+):
+    B, Hq, L, D = q.shape
+    S = k.shape[2]
+    scale = (D**-0.5) if scale is None else scale
+    if lens is None:
+        lens = jnp.full((B,), S, jnp.int32)
+    causal = mask == "causal" or mask is None
+    if isinstance(mask, jax.Array):
+        # Arbitrary additive masks fall back to the XLA path for now.
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale, mask=mask, lens=lens, impl="xla")
+    if L <= 16:
+        return _flash_decode(q, k, v, lens, scale=float(scale), interpret=interpret)
+    return _flash_prefill(
+        q, k, v, lens, scale=float(scale), causal=causal, interpret=interpret
+    )

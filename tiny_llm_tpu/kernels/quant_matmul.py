@@ -1,0 +1,184 @@
+"""Dequant-fused W4A16 matmul / matvec Pallas kernels.
+
+TPU replacement for the reference's Metal quantized-matmul family
+(/root/reference/src/extensions_ref/src/quantized_matmul.metal:8-557 —
+vanilla / simdgroup-tile / split-K / matvec schedules). One kernel covers
+both shapes: grid (M/BM, N/BN) with the FULL (padded) K dimension resident
+per program and a statically unrolled supergroup loop. Decode (M <= 8)
+just picks a small BM and wide BN — the op is weight-bandwidth-bound, so
+the only thing that matters is streaming `packed` once at full HBM
+bandwidth while the VPU dequantizes into MXU-ready bf16 tiles.
+
+Dequantization exploits the supergroup storage layout
+(ops/quantize.py module docstring): nibble-plane j of each group_size-word
+block is quant group j, so dequant per group is one shift+mask, a
+[BN, 1]->[BN, lanes] broadcast of scale/bias, and a lane-axis concat. No
+lane shuffles, no dynamic indexing — every slice in the kernel is static.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.quantize import QuantizedTensor, dequantize
+from .dispatch import resolve
+
+# Full-K residency bound: largest K_pad the kernel accepts before the
+# wrapper falls back to XLA (Qwen3 family max is down_proj K=9728->10240).
+MAX_RESIDENT_K = 32 * 1024
+
+
+def _quantized_matmul_xla(
+    x: jax.Array, qt: QuantizedTensor, bias: jax.Array | None
+) -> jax.Array:
+    w = dequantize(qt, dtype=x.dtype)
+    out = jax.lax.dot_general(
+        x,
+        w,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+def _qmm_kernel(
+    x_ref, w_ref, s_ref, b_ref, out_ref, wtile_ref, acc_ref, *, bits, group_size
+):
+    """out[BM, BN] = x[BM, K] @ dequant(w[BN, K/vpw]).T — full K resident.
+
+    wtile_ref [BN, sg_vals] is the dequant staging buffer, explicitly
+    reused across supergroups to bound scoped VMEM (an unrolled
+    value-based loop made Mosaic keep every supergroup's staging alive).
+    """
+    vpw = 32 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+    num_sg = w_ref.shape[-1] // group_size
+    sg_vals = vpw * group_size
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for sg in range(num_sg):
+        words = w_ref[:, sg * group_size : (sg + 1) * group_size]
+        for j in range(vpw):
+            # Mosaic has no direct u32->bf16 cast; hop through i32 (values
+            # are 0..15, exact in every float type).
+            q = ((words >> (bits * j)) & mask).astype(jnp.int32).astype(jnp.bfloat16)
+            g = sg * vpw + j
+            s = s_ref[:, g : g + 1].astype(jnp.bfloat16)
+            b = b_ref[:, g : g + 1].astype(jnp.bfloat16)
+            wtile_ref[:, j * group_size : (j + 1) * group_size] = q * s + b
+        x_sg = x_ref[:, sg * sg_vals : (sg + 1) * sg_vals]
+        acc_ref[:] += jax.lax.dot_general(
+            x_sg,
+            wtile_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _block_sizes(M: int, N: int, K: int):
+    """Pick (BM, BN). Full K is resident, so BN is bounded by VMEM:
+    packed [BN, K/8] u32 + dequant staging [BN, 1024] + out [BM, BN]."""
+    if M <= 32:
+        bm = 8 if M <= 8 else 32
+    elif M <= 128:
+        bm = 128
+    else:
+        bm = 256
+    bm = min(bm, M) if M >= 8 else 8
+    # Scoped-VMEM budget per unit of BN (empirical, 16 MB limit): packed
+    # double-buffer (words * 8 B) + dequant staging (sg_vals * 2 B) +
+    # unrolled shift/mask temporaries (~4 KB) + acc row (bm * 4 B).
+    words = K // 8
+    per_bn = words * 8 + 1024 * 2 + 4096 + bm * 4
+    budget = 9 * 1024 * 1024
+    bn = 256
+    while bn * 2 * per_bn <= budget and bn * 2 <= N:
+        bn *= 2
+    bn = min(bn, N)
+    return bm, bn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "bits", "interpret")
+)
+def _qmm_pallas(
+    x_pad: jax.Array,  # [M, k_padded] bf16
+    packed: jax.Array,  # [N, k_padded // vpw] uint32
+    scales: jax.Array,  # [N, k_padded // group_size]
+    biases: jax.Array,
+    group_size: int,
+    bits: int,
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x_pad.shape
+    N = packed.shape[0]
+    G = scales.shape[1]
+    vpw = 32 // bits
+    sg_vals = vpw * group_size
+    bm, bn = _block_sizes(M, N, K)
+    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn))
+    kernel = functools.partial(_qmm_kernel, bits=bits, group_size=group_size)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda m, n: (m, 0)),
+            pl.BlockSpec((bn, K // vpw), lambda m, n: (n, 0)),
+            pl.BlockSpec((bn, G), lambda m, n: (n, 0)),
+            pl.BlockSpec((bn, G), lambda m, n: (n, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((M, N), x_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bn, sg_vals), jnp.bfloat16),
+            pltpu.VMEM((bm, bn), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + packed.size * 4 + scales.size * 4 + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_pad, packed, scales, biases)
+
+
+def quantized_matmul(
+    x: jax.Array,
+    qt: QuantizedTensor,
+    bias: jax.Array | None = None,
+    impl: str | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """y = x @ dequant(qt).T (+ bias). x: [..., in_features]."""
+    assert x.shape[-1] == qt.in_features, (
+        f"x K={x.shape[-1]} vs weight K={qt.in_features}"
+    )
+    use = resolve(impl)
+    if use == "pallas" and (qt.k_padded > MAX_RESIDENT_K or qt.packed.ndim != 2):
+        use = "xla"
+    if use == "xla":
+        return _quantized_matmul_xla(x, qt, bias)
+    *lead, K = x.shape
+    x2 = x.reshape(-1, K).astype(jnp.bfloat16)
+    if qt.k_padded != K:
+        x2 = jnp.pad(x2, ((0, 0), (0, qt.k_padded - K)))
+    out = _qmm_pallas(
+        x2,
+        qt.packed,
+        qt.scales,
+        qt.biases,
+        group_size=qt.group_size,
+        bits=qt.bits,
+        interpret=interpret,
+    )
+    if bias is not None:
+        out = (out.astype(jnp.float32) + bias.astype(jnp.float32)).astype(out.dtype)
+    return out.reshape(*lead, qt.out_features).astype(x.dtype)

@@ -1,0 +1,26 @@
+"""Device mesh construction.
+
+The reference has no distributed execution (SURVEY.md §2.8); this layer is
+the genuinely new TPU-native component: `jax.sharding.Mesh` over ICI with
+named axes, GSPMD propagation via NamedSharding on the params pytree, and
+XLA collectives inserted automatically by jit. Axes:
+
+  dp — data parallel: replicate weights, shard the request batch
+  tp — tensor parallel: shard attention heads / MLP hidden dim; doubles as
+       the expert-parallel axis for MoE layers (experts sharded over tp)
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(dp: int = 1, tp: int | None = None, devices=None) -> Mesh:
+    """Build a (dp, tp) mesh from the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if tp is None:
+        tp = n // dp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    return jax.make_mesh((dp, tp), ("dp", "tp"), devices=devices)

@@ -1,0 +1,156 @@
+"""Tensor-parallel sharding rules for Qwen3 params and KV caches.
+
+Megatron-style TP expressed as GSPMD NamedShardings (the scaling-book
+recipe: annotate placements, let XLA insert the collectives):
+
+  * q/k/v projections and MLP gate/up: ROW-parallel — out_features sharded
+    on `tp` (whole attention heads per shard; H_q and H_kv are multiples of
+    tp, so QK-norm/RoPE/attention stay shard-local).
+  * o_proj and MLP down: COLUMN-parallel — in_features sharded on `tp`;
+    XLA inserts the all-reduce after the matmul (the psum the reference's
+    single-device design never needed).
+  * MoE expert stacks: experts sharded over `tp` (expert parallelism).
+  * Embedding / LM head / norms: replicated (vocab sharding is a later
+    memory optimization).
+  * KV caches: batch on `dp`, KV heads on `tp` — decode attention is fully
+    shard-local; pages never cross shards.
+
+QuantizedTensor shards by its packed/scales/biases leaves: all three share
+the [N, K/g] row structure, so one PartitionSpec per logical axis applies
+to each leaf (K-axis sharding divides both the packed words and the
+scale groups because supergroups are 1024-value aligned).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.qwen3 import Qwen3Params
+from ..ops.quantize import QuantizedTensor
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+    mesh: Mesh
+    tp_axis: str = "tp"
+    dp_axis: str = "dp"
+
+
+def _qt_spec(row: Any, col: Any) -> dict[str, P]:
+    """PartitionSpecs for QuantizedTensor leaves given (row=N, col=K) axes."""
+    return {
+        "packed": P(row, col),
+        "scales": P(row, col),
+        "biases": P(row, col),
+    }
+
+
+def _spec_for_linear(leaf_name: str, w, row: Any, col: Any, expert: Any = None):
+    """Build the spec for one linear weight (dense array or QuantizedTensor)."""
+    if isinstance(w, QuantizedTensor):
+        specs = _qt_spec(row, col)
+        if w.packed.ndim == 3:  # stacked experts [E, N, K*]
+            specs = {k: P(expert, *v) for k, v in specs.items()}
+        return QuantizedTensor(
+            packed=specs["packed"],
+            scales=specs["scales"],
+            biases=specs["biases"],
+            group_size=w.group_size,
+            bits=w.bits,
+            out_features=w.out_features,
+            in_features=w.in_features,
+            k_padded=w.k_padded,
+        )
+    if w.ndim == 3:
+        return P(expert, row, col)
+    return P(row, col)
+
+
+def param_shardings(params: Qwen3Params, cfg: ShardingConfig):
+    """Pytree of PartitionSpecs matching `params`' structure."""
+    tp = cfg.tp_axis
+
+    def attn_spec(attn):
+        return dataclasses.replace(
+            attn,
+            wq=_spec_for_linear("wq", attn.wq, tp, None),
+            wk=_spec_for_linear("wk", attn.wk, tp, None),
+            wv=_spec_for_linear("wv", attn.wv, tp, None),
+            wo=_spec_for_linear("wo", attn.wo, None, tp),
+            q_norm=P(None),
+            k_norm=P(None),
+        )
+
+    def mlp_spec(mlp):
+        from ..models.qwen3 import MLPParams, MoEParams
+
+        if isinstance(mlp, MoEParams):
+            return dataclasses.replace(
+                mlp,
+                w_router=_spec_for_linear("w_router", mlp.w_router, None, None),
+                w_gate=_spec_for_linear("w_gate", mlp.w_gate, None, None, expert=tp),
+                w_up=_spec_for_linear("w_up", mlp.w_up, None, None, expert=tp),
+                w_down=_spec_for_linear("w_down", mlp.w_down, None, None, expert=tp),
+            )
+        return dataclasses.replace(
+            mlp,
+            w_gate=_spec_for_linear("w_gate", mlp.w_gate, tp, None),
+            w_up=_spec_for_linear("w_up", mlp.w_up, tp, None),
+            w_down=_spec_for_linear("w_down", mlp.w_down, None, tp),
+        )
+
+    def block_spec(block):
+        return dataclasses.replace(
+            block,
+            input_layernorm=P(None),
+            post_attention_layernorm=P(None),
+            attn=attn_spec(block.attn),
+            mlp=mlp_spec(block.mlp),
+        )
+
+    emb = _spec_for_linear("embedding", params.embedding, None, None)
+    head = (
+        None
+        if params.lm_head is None
+        else _spec_for_linear("lm_head", params.lm_head, None, None)
+    )
+    return Qwen3Params(
+        embedding=emb,
+        layers=tuple(block_spec(b) for b in params.layers),
+        final_norm=P(None),
+        lm_head=head,
+    )
+
+
+def _to_sharding_tree(spec_tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s) if isinstance(s, P) else s,
+        spec_tree,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params: Qwen3Params, cfg: ShardingConfig) -> Qwen3Params:
+    """Place params on the mesh per the TP rules (device_put with
+    NamedSharding — GSPMD handles everything downstream)."""
+    specs = param_shardings(params, cfg)
+    shardings = _to_sharding_tree(specs, cfg.mesh)
+    return jax.device_put(params, shardings)
+
+
+def kv_cache_spec(cfg: ShardingConfig) -> P:
+    """[num_layers, B, H_kv, S, D] slab: batch on dp, KV heads on tp."""
+    return P(None, cfg.dp_axis, cfg.tp_axis, None, None)
+
+
+def shard_kv_cache(cache, cfg: ShardingConfig):
+    """Place a DenseKVCache's slabs onto the mesh."""
+    sharding = NamedSharding(cfg.mesh, kv_cache_spec(cfg))
+    cache.keys = jax.device_put(cache.keys, sharding)
+    cache.values = jax.device_put(cache.values, sharding)
+    return cache

@@ -1,0 +1,185 @@
+"""Continuous-batching scheduler with chunked prefill.
+
+Parity: /root/reference/src/tiny_llm_ref/batch.py:18-221. Scheduler
+structure is preserved (fixed decode slots + at most one pending prefill
+request per iteration, chunked prefill, EOS / max-seq-len eviction); the
+cache plumbing is the TPU design: a request prefills into its own
+preallocated cache (dense or paged), then its state is installed into a
+batch cache slot. With the paged cache, installation is O(1) metadata —
+the pages are already in the shared pool (paged_attention.metal's design
+goal, achieved here by construction).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _argmax_last(logits) -> np.ndarray:
+    lp = logits[:, -1, :].astype(jnp.float32)
+    return np.asarray(jnp.argmax(lp, axis=-1))
+
+
+class Request:
+    """One in-flight generation request (reference batch.py:18-81)."""
+
+    def __init__(
+        self,
+        model: Any,
+        tokenizer: Any,
+        prompt: str,
+        prefill_max_step: int = 128,
+        prompt_idx: int = 0,
+    ):
+        self.prompt = prompt
+        self.model = model
+        self.kv_cache = model.create_kv_cache()
+        self.prefill_tokens = list(tokenizer.encode(prompt))
+        self.prefill_max_step = prefill_max_step
+        self.is_done = False
+        self.is_prefill_done = False
+        eos = getattr(tokenizer, "eos_token_ids", None)
+        self.eos_ids = (
+            {int(t) for t in eos} if eos is not None else {int(tokenizer.eos_token_id)}
+        )
+        self.next_token: int | None = None
+        self.offset = 0
+        self.prompt_idx = prompt_idx
+        self.output_ids: list[int] = []
+        self._tokenizer = tokenizer
+
+    def try_prefill(self) -> None:
+        """Advance prefill by at most prefill_max_step tokens."""
+        if self.is_prefill_done:
+            raise ValueError("prefill called after done")
+        n = min(self.prefill_max_step, len(self.prefill_tokens) - self.offset)
+        chunk = self.prefill_tokens[self.offset : self.offset + n]
+        logits = self.model(
+            jnp.asarray([chunk], dtype=jnp.int32),
+            self.offset,
+            self.kv_cache,
+            logits_to_keep=1,
+        )
+        self.offset += n
+        # Bound the async dispatch queue per chunk, the reference's
+        # materialize-per-chunk discipline (batch.py:59-63).
+        self.kv_cache.materialize()
+        if self.offset == len(self.prefill_tokens):
+            self.is_prefill_done = True
+            self.decode_done(int(_argmax_last(logits)[0]), update_offset=False)
+
+    def decode_done(self, token: int, update_offset: bool = True) -> None:
+        if self.is_done:
+            raise ValueError("decode called after done")
+        if token in self.eos_ids:
+            self.is_done = True
+            return
+        self.output_ids.append(token)
+        self.next_token = token
+        if update_offset:
+            self.offset += 1
+
+    def text(self) -> str:
+        return self._tokenizer.decode(self.output_ids)
+
+
+def batch_generate(
+    model: Any,
+    tokenizer: Any,
+    prompts: list[str],
+    max_seq_len: int = 512,
+    batch_size: int = 5,
+    prefill_step: int = 128,
+    progress_callback: Callable | None = None,
+    use_paged: bool | None = None,
+) -> list[tuple[int, str]]:
+    """Serve `prompts` with continuous batching; returns (prompt_idx, text).
+
+    Scheduler loop parity with the reference (batch.py:120-221): each
+    iteration performs at most one prefill chunk, then one batched decode
+    step over the slot cache, then handles evictions and admissions.
+    """
+    prompts = list(prompts)
+    if use_paged is None:
+        use_paged = hasattr(model, "create_paged_state")
+    if use_paged:
+        from .paged_runner import paged_batch_generate
+
+        return paged_batch_generate(
+            model,
+            tokenizer,
+            prompts,
+            max_seq_len=max_seq_len,
+            batch_size=batch_size,
+            prefill_step=prefill_step,
+            progress_callback=progress_callback,
+        )
+
+    decode_requests: list[Request | None] = [None] * batch_size
+    kv_cache = model.create_batching_kv_cache(
+        max_active_requests=batch_size, max_seq_len=max_seq_len
+    )
+    result: list[tuple[int, str]] = []
+    pending: Request | None = None
+    next_idx = 0
+    start = time.monotonic()
+
+    while True:
+        if not prompts and all(r is None for r in decode_requests) and pending is None:
+            break
+
+        if prompts and pending is None:
+            pending = Request(model, tokenizer, prompts.pop(0), prefill_step, next_idx)
+            next_idx += 1
+
+        if pending is not None:
+            if not pending.is_prefill_done:
+                pending.try_prefill()
+            if pending.is_prefill_done:
+                if pending.is_done:
+                    # EOS directly after prefill; never occupies a slot.
+                    result.append((pending.prompt_idx, pending.text()))
+                    pending.kv_cache.release()
+                    pending = None
+                else:
+                    for i in range(batch_size):
+                        if decode_requests[i] is None:
+                            kv_cache.add_request(pending.kv_cache, i)
+                            pending.kv_cache.release()
+                            decode_requests[i] = pending
+                            pending = None
+                            break
+
+        if any(r is not None for r in decode_requests):
+            next_tokens = [
+                (r.next_token if r is not None else 0) for r in decode_requests
+            ]
+            offsets = [(r.offset if r is not None else 0) for r in decode_requests]
+            logits = model(
+                jnp.asarray(next_tokens, dtype=jnp.int32).reshape(-1, 1),
+                offsets,
+                kv_cache,
+                logits_to_keep=1,
+            )
+            sampled = _argmax_last(logits)
+            for i in range(batch_size):
+                req = decode_requests[i]
+                if req is None:
+                    continue
+                req.decode_done(int(sampled[i]))
+                reason = None
+                if req.is_done:
+                    reason = "EOS"
+                elif req.offset >= max_seq_len:
+                    reason = "max seq len"
+                if reason is not None:
+                    kv_cache.remove_request(i)
+                    result.append((req.prompt_idx, req.text()))
+                    decode_requests[i] = None
+        if progress_callback is not None:
+            progress_callback(decode_requests, pending, len(prompts), start)
+    return result
