@@ -21,14 +21,94 @@ import numpy as np
 REFERENCE_DECODE_TOK_S = 75.41  # BASELINE.md week-2 final (M4 Pro)
 
 
+def serving_bench(args) -> None:
+    """Continuous-batching serving campaign (reference week-3 shape:
+    16 requests, batch 4, inputs 128-1024, outputs 32-128, prefill 128 —
+    BASELINE.md: direct paged attention = 45.05 output tok/s, 0.600 req/s)."""
+    import numpy as np
+
+    from tiny_llm_tpu.models import (
+        QWEN3_CONFIGS,
+        Qwen3Model,
+        synthetic_quantized_params,
+    )
+    from tiny_llm_tpu.serving import batch_generate
+    from tiny_llm_tpu.tokenizer import ByteTokenizer
+
+    cfg = QWEN3_CONFIGS[args.model]
+    params = synthetic_quantized_params(cfg, key=0)
+    model = Qwen3Model(params, cfg, max_seq_len=args.max_seq, attn_impl=args.impl)
+    pages = (args.max_seq // 128) * (args.batch_size + 2) + 9
+    model.enable_paged_attention(num_pages=pages, page_size=128)
+
+    rng = np.random.default_rng(0)
+    tok = ByteTokenizer()
+    lens = rng.integers(128, 1025, size=args.requests)
+    outs = rng.integers(32, 129, size=args.requests)
+    prompts = ["x" * int(n) for n in lens]  # 1 byte token per char
+
+    # Warmup: run a short campaign to compile prefill/decode buckets.
+    batch_generate(
+        model, tok, prompts[:2], max_seq_len=args.max_seq,
+        batch_size=args.batch_size, prefill_step=args.prefill_step,
+        max_output_tokens=8,
+    )
+
+    from tiny_llm_tpu.serving import ServingMetrics
+
+    metrics = ServingMetrics(
+        pool_capacity_pages=model.page_pool.num_pages,
+        page_size=model.page_pool.page_size,
+    )
+    metrics._bytes_per_slot = (
+        2 * cfg.num_hidden_layers * cfg.num_key_value_heads * cfg.head_dim * 2
+    )
+    t0 = time.perf_counter()
+    results = batch_generate(
+        model, tok, prompts, max_seq_len=args.max_seq,
+        batch_size=args.batch_size, prefill_step=args.prefill_step,
+        max_output_tokens=int(outs.mean()), metrics=metrics,
+    )
+    metrics.wall_s = time.perf_counter() - t0
+    dt = metrics.wall_s
+    out_tokens = sum(len(tok.encode(t)) for _, t in results)
+    in_tokens = int(lens.sum())
+    print(
+        json.dumps(
+            {
+                "metric": f"serving_output_tok_s_{args.model.replace('-', '_')}_w4a16",
+                "value": round(out_tokens / dt, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(out_tokens / dt / 45.05, 3),
+                "req_s": round(len(results) / dt, 3),
+                "prefill_plus_decode_tok_s": round((in_tokens + out_tokens) / dt, 1),
+                "requests": args.requests,
+                "batch_size": args.batch_size,
+                "peak_kv_mib": round(metrics.peak_kv_bytes / 2**20, 1),
+                "peak_live_pages": metrics.peak_live_pages,
+                "mean_batch_occupancy": metrics.as_dict().get("mean_batch_occupancy"),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="qwen3-4b")
+    p.add_argument("--mode", default="decode", choices=["decode", "serving"])
     p.add_argument("--prompt-len", type=int, default=128)
     p.add_argument("--decode", type=int, default=128)
     p.add_argument("--max-seq", type=int, default=1024)
     p.add_argument("--impl", default=None, choices=[None, "xla", "pallas"])
+    p.add_argument("--requests", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--prefill-step", type=int, default=128)
     args = p.parse_args()
+
+    if args.mode == "serving":
+        serving_bench(args)
+        return
 
     from tiny_llm_tpu.models import QWEN3_CONFIGS, Qwen3Model, synthetic_quantized_params
 

@@ -1,0 +1,166 @@
+"""MoE tests: routing, grouped matmul, full sparse layer, MoE model.
+
+Mirrors the reference's week-3 day-6 strategy (test_week_3_day_6.py:
+oracle = dense per-token computation of the same expert math).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tiny_llm_tpu.ops import dequantize, quantize, softmax
+from tiny_llm_tpu.ops.moe import (
+    grouped_expert_linear,
+    grouped_matmul,
+    moe_forward,
+    route_topk,
+)
+from tiny_llm_tpu.models import Qwen3Model, random_params, tiny_test_config
+from .utils import assert_allclose
+
+
+def test_route_topk_matches_manual():
+    E, D, k = 8, 32, 3
+    w = jax.random.normal(jax.random.key(0), (E, D)) * 0.5
+    x = jax.random.normal(jax.random.key(1), (2, 5, D))
+    probs, ids, scores = route_topk(x, w, top_k=k)
+    manual = np.asarray(softmax(x @ w.T, axis=-1), np.float32)
+    np.testing.assert_allclose(np.asarray(probs), manual, rtol=2e-5, atol=1e-6)
+    # top-k membership + score extraction
+    for b in range(2):
+        for t in range(5):
+            sel = set(np.asarray(ids[b, t]))
+            top = set(np.argsort(-manual[b, t])[:k])
+            assert sel == top
+            np.testing.assert_allclose(
+                np.sort(np.asarray(scores[b, t])),
+                np.sort(manual[b, t][list(sel)]),
+                rtol=2e-5,
+            )
+
+
+def test_route_topk_renorm():
+    E, D, k = 4, 16, 2
+    w = jax.random.normal(jax.random.key(0), (E, D))
+    x = jax.random.normal(jax.random.key(1), (1, 3, D))
+    _, _, scores = route_topk(x, w, top_k=k, norm_topk_prob=True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(scores, -1)), np.ones((1, 3)), rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("use_ragged", [False])
+def test_grouped_matmul_matches_per_row(use_ragged):
+    E, N, K, T = 4, 32, 128, 20
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(E, N, K)) * 0.1, jnp.float32)
+    ids = np.sort(rng.integers(0, E, size=T))
+    x = jnp.asarray(rng.normal(size=(T, K)), jnp.float32)
+    sizes = jnp.asarray(np.bincount(ids, minlength=E), jnp.int32)
+    out = np.asarray(grouped_matmul(x, w, sizes, use_ragged=use_ragged), np.float32)
+    for t in range(T):
+        expected = np.asarray(x[t] @ w[ids[t]].T, np.float32)
+        np.testing.assert_allclose(out[t], expected, rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_expert_linear_unsorted_ids():
+    E, N, K, T = 4, 16, 128, 10
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(size=(E, N, K)) * 0.1, jnp.float32)
+    ids = rng.integers(0, E, size=T)  # unsorted
+    x = jnp.asarray(rng.normal(size=(T, K)), jnp.float32)
+    out = np.asarray(
+        grouped_expert_linear(x, w, jnp.asarray(ids), use_ragged=False), np.float32
+    )
+    for t in range(T):
+        np.testing.assert_allclose(
+            out[t], np.asarray(x[t] @ w[ids[t]].T), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_grouped_matmul_quantized_experts():
+    E, N, K, T = 3, 32, 256, 12
+    rng = np.random.default_rng(2)
+    wf = rng.normal(size=(E, N, K)).astype(np.float32) * 0.1
+    qt = quantize(jnp.asarray(wf.reshape(E * N, K)))
+    from tiny_llm_tpu.ops.quantize import QuantizedTensor
+
+    stacked = QuantizedTensor(
+        packed=qt.packed.reshape(E, N, -1),
+        scales=qt.scales.reshape(E, N, -1),
+        biases=qt.biases.reshape(E, N, -1),
+        group_size=qt.group_size,
+        bits=qt.bits,
+        out_features=N,
+        in_features=K,
+        k_padded=qt.k_padded,
+    )
+    w_hat = np.asarray(dequantize(qt, jnp.float32)).reshape(E, N, K)
+    ids = np.sort(rng.integers(0, E, size=T))
+    x = jnp.asarray(rng.normal(size=(T, K)), jnp.bfloat16)
+    sizes = jnp.asarray(np.bincount(ids, minlength=E), jnp.int32)
+    out = np.asarray(grouped_matmul(x, stacked, sizes, use_ragged=False), np.float32)
+    for t in range(T):
+        expected = np.asarray(x[t], np.float32) @ w_hat[ids[t]].T
+        np.testing.assert_allclose(out[t], expected, rtol=5e-2, atol=5e-2)
+
+
+def test_moe_forward_matches_dense_loop():
+    """Full sparse MLP vs per-token dense oracle (reference Moe semantics:
+    out = sum_k score_k * down(silu(gate(x)) * up(x)) with expert k)."""
+    E, D, I, k = 4, 64, 96, 2
+    rng = np.random.default_rng(3)
+    wr = jnp.asarray(rng.normal(size=(E, D)) * 0.3, jnp.float32)
+    wg = jnp.asarray(rng.normal(size=(E, I, D)) * 0.1, jnp.float32)
+    wu = jnp.asarray(rng.normal(size=(E, I, D)) * 0.1, jnp.float32)
+    wd = jnp.asarray(rng.normal(size=(E, D, I)) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 3, D)), jnp.float32)
+
+    got = np.asarray(
+        moe_forward(x, wr, wg, wu, wd, num_experts_per_tok=k, use_ragged=False),
+        np.float32,
+    )
+
+    xs = np.asarray(x, np.float32)
+    probs = np.asarray(softmax(x @ wr.T, axis=-1), np.float32)
+    expected = np.zeros_like(xs)
+    for b in range(2):
+        for t in range(3):
+            top = np.argsort(-probs[b, t])[:k]
+            for e in top:
+                g = xs[b, t] @ np.asarray(wg[e]).T
+                u = xs[b, t] @ np.asarray(wu[e]).T
+                act = g / (1 + np.exp(-g)) * u
+                expected[b, t] += probs[b, t, e] * (act @ np.asarray(wd[e]).T)
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-3)
+
+
+def test_moe_model_end_to_end():
+    """A Qwen3-MoE-shaped model: cached decode must match full forward."""
+    cfg = tiny_test_config(
+        num_hidden_layers=2,
+        num_experts=4,
+        num_experts_per_tok=2,
+        moe_intermediate_size=128,
+        norm_topk_prob=True,
+        mlp_only_layers=(0,),  # layer 0 dense, layer 1 sparse
+    )
+    assert not cfg.is_moe_layer(0) and cfg.is_moe_layer(1)
+    params = random_params(cfg, key=0, quantized=True)
+    from tiny_llm_tpu.models.qwen3 import MoEParams
+
+    assert not isinstance(params.layers[0].mlp, MoEParams)
+    assert isinstance(params.layers[1].mlp, MoEParams)
+    model = Qwen3Model(params, cfg, max_seq_len=64)
+    ids = [3, 1, 4, 1, 5, 9]
+    tokens = jnp.asarray([ids], jnp.int32)
+    full = np.asarray(model(tokens), np.float32)
+    cache = model.create_kv_cache()
+    model(tokens[:, :4], 0, cache)
+    for i in range(4, len(ids)):
+        step = np.asarray(
+            model(tokens[:, i : i + 1], i, cache, logits_to_keep=1), np.float32
+        )
+        assert_allclose(step[0, 0], full[0, i], jnp.bfloat16, atol=5e-2,
+                        message=f"step {i}")

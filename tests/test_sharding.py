@@ -1,0 +1,125 @@
+"""Multi-device sharding tests on the forced 8-device CPU mesh.
+
+The distributed analog of the reference's cross-implementation equality
+tests (SURVEY.md §4): sharded execution must produce the same logits as
+single-device execution.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tiny_llm_tpu.models import Qwen3Model, Qwen3Config, random_params
+from tiny_llm_tpu.parallel import (
+    ShardingConfig,
+    make_mesh,
+    param_shardings,
+    shard_params,
+)
+from tiny_llm_tpu.parallel.sharding import kv_cache_spec, shard_kv_cache
+from .utils import assert_allclose
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def tp_config():
+    return Qwen3Config(
+        num_hidden_layers=2,
+        hidden_size=256,
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        head_dim=64,
+        intermediate_size=512,
+        vocab_size=512,
+        rope_theta=10000.0,
+        max_position_embeddings=128,
+    )
+
+
+@pytest.mark.parametrize("quantized", [False, True], ids=["dense", "quant"])
+def test_tp_sharded_logits_match_single_device(quantized):
+    cfg = tp_config()
+    params = random_params(cfg, key=0, quantized=quantized)
+    single = Qwen3Model(params, cfg, max_seq_len=128, attn_impl="xla")
+    tokens = jnp.asarray([[5, 3, 8, 1, 9, 2]], jnp.int32)
+    base = np.asarray(single.forward_full(tokens), np.float32)
+
+    mesh = make_mesh(dp=1, tp=8)
+    scfg = ShardingConfig(mesh)
+    sharded_params = shard_params(params, scfg)
+    tp_model = Qwen3Model(sharded_params, cfg, max_seq_len=128, attn_impl="xla")
+    got = np.asarray(tp_model.forward_full(tokens), np.float32)
+    assert_allclose(got, base, jnp.bfloat16, atol=5e-2)
+
+
+def test_tp_sharding_specs_cover_params():
+    """Every leaf gets a spec with the expected partitioned axes."""
+    cfg = tp_config()
+    params = random_params(cfg, key=0, quantized=True)
+    specs = param_shardings(params, ShardingConfig(make_mesh(dp=1, tp=8)))
+    layer = specs.layers[0]
+    assert layer.attn.wq.packed == P("tp", None)
+    assert layer.attn.wo.packed == P(None, "tp")
+    assert layer.mlp.w_gate.packed == P("tp", None)
+    assert layer.mlp.w_down.packed == P(None, "tp")
+    assert layer.input_layernorm == P(None)
+
+
+def test_tp_cached_decode_matches_single_device():
+    cfg = tp_config()
+    params = random_params(cfg, key=1, quantized=False)
+    single = Qwen3Model(params, cfg, max_seq_len=64, attn_impl="xla")
+    ids = [5, 3, 8, 1, 9, 2, 7, 4]
+    tokens = jnp.asarray([ids], jnp.int32)
+    sc = single.create_kv_cache()
+    single(tokens[:, :5], 0, sc)
+    base = np.asarray(
+        single(tokens[:, 5:6], 5, sc, logits_to_keep=1), np.float32
+    )
+
+    mesh = make_mesh(dp=1, tp=8)
+    scfg = ShardingConfig(mesh)
+    tp_model = Qwen3Model(shard_params(params, scfg), cfg, max_seq_len=64,
+                          attn_impl="xla")
+    tc = tp_model.create_kv_cache()
+    shard_kv_cache(tc, scfg)
+    tp_model(tokens[:, :5], 0, tc)
+    got = np.asarray(tp_model(tokens[:, 5:6], 5, tc, logits_to_keep=1), np.float32)
+    assert_allclose(got, base, jnp.bfloat16, atol=5e-2)
+    # KV stays sharded over heads after the step (the compiler may drop
+    # size-1/replicated axes like dp=1 from the reported spec).
+    spec = tuple(tc.keys.sharding.spec) + (None,) * 5
+    assert spec[2] == "tp", spec
+
+
+def test_dp_mesh_batch_sharding():
+    """dp=2 x tp=4: batched forward with batch sharded over dp."""
+    cfg = tp_config()
+    params = random_params(cfg, key=2, quantized=False)
+    mesh = make_mesh(dp=2, tp=4)
+    scfg = ShardingConfig(mesh)
+    model = Qwen3Model(shard_params(params, scfg), cfg, max_seq_len=64,
+                       attn_impl="xla")
+    tokens = jnp.asarray([[5, 3, 8], [1, 9, 2]], jnp.int32)
+    tokens = jax.device_put(tokens, NamedSharding(mesh, P("dp", None)))
+    out = model.forward_full(tokens)
+    assert out.shape == (2, 3, cfg.vocab_size)
+    single = Qwen3Model(params, cfg, max_seq_len=64, attn_impl="xla")
+    base = np.asarray(single.forward_full(jnp.asarray([[5, 3, 8], [1, 9, 2]])), np.float32)
+    assert_allclose(np.asarray(out, np.float32), base, jnp.bfloat16, atol=5e-2)
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver's dryrun hook must compile+run on the virtual mesh."""
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -14,6 +14,24 @@ PRECISIONS = [jnp.float32, jnp.float16]
 PRECISION_IDS = ["f32", "f16"]
 
 
+class FakeTokenizer:
+    """Deterministic toy tokenizer for generation/serving tests (the
+    reference's scripted FakeTokenizer pattern, test_week_3_day_7.py)."""
+
+    def __init__(self, eos_token_id: int = 99, vocab: int = 128):
+        self.eos_token_id = eos_token_id
+        self.vocab = vocab
+
+    def encode(self, s: str):
+        return [ord(c) % (self.vocab - 30) for c in s] or [1]
+
+    def decode(self, ids):
+        return "".join(chr(97 + i % 26) for i in ids)
+
+    def get_vocab(self):
+        return {str(i): i for i in range(self.vocab)}
+
+
 def assert_allclose(
     a,
     b,

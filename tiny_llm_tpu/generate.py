@@ -166,6 +166,7 @@ def speculative_generate(
             on_token(tokenizer.decode(emitted))
 
     def _finish() -> str:
+        del emitted[max_tokens:]  # acceptance can overshoot by < one proposal
         return tokenizer.decode(emitted)
 
     def _target_only(token_id: int, offset: int) -> str:

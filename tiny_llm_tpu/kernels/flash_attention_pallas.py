@@ -72,11 +72,11 @@ def _decode_kernel(
     # scalar prefetch
     lens_ref,  # [B] i32
     # inputs
-    q_ref,  # [1, n_rep, L, D]
+    q_ref,  # [1, 1, n_rep, L, D]
     k_ref,  # [1, 1, BS, D]
     v_ref,  # [1, 1, BS, D]
     # outputs
-    o_ref,  # [1, n_rep, L, D]
+    o_ref,  # [1, 1, n_rep, L, D]
     # scratch
     m_ref,
     l_ref,
@@ -87,7 +87,7 @@ def _decode_kernel(
 ):
     b = pl.program_id(0)
     s = pl.program_id(2)
-    n_rep, L, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    n_rep, L, D = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
     R = n_rep * L
     ctx = lens_ref[b]
 
@@ -99,7 +99,7 @@ def _decode_kernel(
 
     @pl.when(s * bs < ctx)
     def _():
-        q = q_ref[0].reshape(R, D).astype(jnp.float32) * scale
+        q = q_ref[0, 0].reshape(R, D).astype(jnp.float32) * scale
         # Row r = (head_rep, l): absolute query position = ctx - L + l.
         l_idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % L
         q_pos = ctx - L + l_idx
@@ -117,7 +117,7 @@ def _decode_kernel(
     @pl.when(s == pl.num_programs(2) - 1)
     def _():
         out = acc_ref[:] / l_ref[:, :1]
-        o_ref[0] = out.reshape(1, n_rep, L, D).astype(o_ref.dtype)[0]
+        o_ref[0, 0] = out.reshape(n_rep, L, D).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -139,10 +139,10 @@ def _flash_decode(
     n_tiles = pl.cdiv(S, bs)
     R = n_rep * L
 
-    def q_map(lens_ref, b, h, s):
-        return (b, h, 0, 0)
+    def q_map(b, h, s, lens_ref):
+        return (b, h, 0, 0, 0)
 
-    def kv_map(lens_ref, b, h, s):
+    def kv_map(b, h, s, lens_ref):
         # Clamp at the row's last valid tile: fully-masked tiles re-fetch
         # the same block and the pipeline elides the DMA.
         last = jnp.maximum((lens_ref[b] + bs - 1) // bs - 1, 0)
@@ -152,19 +152,17 @@ def _flash_decode(
         num_scalar_prefetch=1,
         grid=(B, Hkv, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, n_rep, L, D), q_map),
+            pl.BlockSpec((1, 1, n_rep, L, D), q_map),
             pl.BlockSpec((1, 1, bs, D), kv_map),
             pl.BlockSpec((1, 1, bs, D), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, n_rep, L, D), q_map),
+        out_specs=pl.BlockSpec((1, 1, n_rep, L, D), q_map),
         scratch_shapes=[
             pltpu.VMEM((R, 128), jnp.float32),
             pltpu.VMEM((R, 128), jnp.float32),
             pltpu.VMEM((R, D), jnp.float32),
         ],
     )
-    qg = q.reshape(B, Hkv, n_rep, L, D).reshape(B, Hkv, n_rep * L, D)
-    # Keep logical layout [B, Hkv, n_rep, L, D] -> blocks want [1, n_rep, L, D]
     qg = q.reshape(B, Hkv, n_rep, L, D)
 
     kernel = functools.partial(_decode_kernel, bs=bs, scale=scale)
@@ -255,10 +253,10 @@ def _flash_prefill(
     nq = pl.cdiv(L, bq)
     ns = pl.cdiv(S, bs)
 
-    def q_map(lens_ref, b, h, iq, s):
+    def q_map(b, h, iq, s, lens_ref):
         return (b, h, iq, 0)
 
-    def kv_map(lens_ref, b, h, iq, s):
+    def kv_map(b, h, iq, s, lens_ref):
         last = jnp.maximum((lens_ref[b] + bs - 1) // bs - 1, 0)
         return (b, h // n_rep, jnp.minimum(s, last), 0)
 

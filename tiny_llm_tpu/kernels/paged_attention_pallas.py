@@ -1,0 +1,266 @@
+"""Pallas paged attention: flash decode + prefill over a page pool.
+
+The flagship kernels — TPU replacement for
+/root/reference/src/extensions_ref/src/paged_attention.metal:
+  - paged_attention_decode (:108-244): online-softmax flash decode walking
+    the block table, skipping -1 pages, causal visible-context clamp.
+  - paged_attention_mma_bf16_d128 (:250-506): BQ-tiled flash prefill with
+    per-tile page gather and causal tile limit.
+
+TPU-first design: the page INDIRECTION lives in the BlockSpec index_map —
+block_table and context_lens ride in as scalar-prefetch args, and each KV
+tile's index_map returns the physical page id directly, so the Pallas
+pipeline DMAs exactly the logical pages in order, double-buffered, with
+out-of-range tiles clamped to re-fetch the previous page (elided DMA).
+That replaces the Metal kernels' hand-written page-walk gather loops with
+the machinery the hardware already has.
+
+Page layout [P, H_kv, page_size, D]: one (page, head) tile is a contiguous
+[page_size, D] block — page_size x 256 B bursts, ideal for DMA (and the
+reason the pool keeps the reference's H-major layout).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .flash_attention_pallas import NEG_INF, _flash_inner
+
+
+def _paged_decode_kernel(
+    bt_ref,  # [B, maxp] i32 (scalar prefetch)
+    lens_ref,  # [B] i32 (scalar prefetch)
+    q_ref,  # [1, 1, n_rep, L, D]
+    k_ref,  # [1, 1, ps, D] — one page, one head
+    v_ref,
+    o_ref,  # [1, 1, n_rep, L, D]
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    ps: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    n_rep, L, D = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
+    R = n_rep * L
+    ctx = lens_ref[b]
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i * ps < ctx)
+    def _():
+        q = q_ref[0, 0].reshape(R, D).astype(jnp.float32) * scale
+        l_idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % L
+        q_pos = ctx - L + l_idx
+        _flash_inner(q, k_ref[0, 0], v_ref[0, 0], q_pos, i * ps, m_ref, l_ref, acc_ref)
+
+    @pl.when(i == pl.num_programs(2) - 1)
+    def _():
+        out = acc_ref[:] / l_ref[:, :1]
+        o_ref[0, 0] = out.reshape(n_rep, L, D).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_flash_decode(
+    q: jax.Array,  # [B, Hq, L, D]
+    key_pages: jax.Array,  # [P, Hkv, ps, D]
+    value_pages: jax.Array,
+    block_table: jax.Array,  # [B, maxp] i32, -1 padded
+    context_lens: jax.Array,  # [B] i32
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    B, Hq, L, D = q.shape
+    P, Hkv, ps, _ = key_pages.shape
+    n_rep = Hq // Hkv
+    maxp = block_table.shape[1]
+    R = n_rep * L
+
+    def q_map(b, h, i, bt_ref, lens_ref):
+        return (b, h, 0, 0, 0)
+
+    def kv_map(b, h, i, bt_ref, lens_ref):
+        # Clamp past each row's last live page -> re-fetch, DMA elided;
+        # -1 padding maps to page 0 (its scores are masked by ctx).
+        last = jnp.maximum((lens_ref[b] + ps - 1) // ps - 1, 0)
+        page = bt_ref[b, jnp.minimum(i, last)]
+        return (jnp.maximum(page, 0), h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv, maxp),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_rep, L, D), q_map),
+            pl.BlockSpec((1, 1, ps, D), kv_map),
+            pl.BlockSpec((1, 1, ps, D), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n_rep, L, D), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, D), jnp.float32),
+        ],
+    )
+    qg = q.reshape(B, Hkv, n_rep, L, D)
+    kernel = functools.partial(_paged_decode_kernel, ps=ps, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, n_rep, L, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * L * maxp * ps * D,
+            bytes_accessed=2 * B * Hkv * maxp * ps * D * 2,
+            transcendentals=B * Hq * L * maxp * ps,
+        ),
+        interpret=interpret,
+    )(
+        block_table.astype(jnp.int32),
+        context_lens.astype(jnp.int32),
+        qg,
+        key_pages,
+        value_pages,
+    )
+    return out.reshape(B, Hq, L, D)
+
+
+def _paged_prefill_kernel(
+    bt_ref,
+    lens_ref,
+    q_ref,  # [1, 1, BQ, D]
+    k_ref,  # [1, 1, ps, D]
+    v_ref,
+    o_ref,
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    ps: int,
+    bq: int,
+    L: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    i = pl.program_id(3)
+    BQ, D = q_ref.shape[2], q_ref.shape[3]
+    ctx = lens_ref[b]
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+    q_pos = ctx - L + row
+    tile_max_pos = ctx - L + (iq + 1) * bq - 1
+    live = i * ps <= jnp.minimum(tile_max_pos, ctx - 1)
+
+    @pl.when(live)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        _flash_inner(q, k_ref[0, 0], v_ref[0, 0], q_pos, i * ps, m_ref, l_ref, acc_ref)
+
+    @pl.when(i == pl.num_programs(3) - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "bq", "interpret"))
+def paged_flash_prefill(
+    q: jax.Array,  # [B, Hq, L, D] — last L tokens of each context
+    key_pages: jax.Array,  # [P, Hkv, ps, D]
+    value_pages: jax.Array,
+    block_table: jax.Array,
+    context_lens: jax.Array,
+    scale: float,
+    bq: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    B, Hq, L, D = q.shape
+    P, Hkv, ps, _ = key_pages.shape
+    n_rep = Hq // Hkv
+    maxp = block_table.shape[1]
+    bq = min(bq, L)
+    nq = pl.cdiv(L, bq)
+
+    def q_map(b, h, iq, i, bt_ref, lens_ref):
+        return (b, h, iq, 0)
+
+    def kv_map(b, h, iq, i, bt_ref, lens_ref):
+        last = jnp.maximum((lens_ref[b] + ps - 1) // ps - 1, 0)
+        page = bt_ref[b, jnp.minimum(i, last)]
+        return (jnp.maximum(page, 0), h // n_rep, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hq, nq, maxp),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), q_map),
+            pl.BlockSpec((1, 1, ps, D), kv_map),
+            pl.BlockSpec((1, 1, ps, D), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, D), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _paged_prefill_kernel, ps=ps, bq=bq, L=L, scale=scale
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, L, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * L * maxp * ps * D,
+            bytes_accessed=2 * B * Hkv * maxp * ps * D * 2 + 2 * B * Hq * L * D * 2,
+            transcendentals=B * Hq * L * maxp * ps,
+        ),
+        interpret=interpret,
+    )(
+        block_table.astype(jnp.int32),
+        context_lens.astype(jnp.int32),
+        q,
+        key_pages,
+        value_pages,
+    )
+    return out
+
+
+def paged_attention_pallas(
+    q, key_pages, value_pages, block_table, context_lens,
+    scale=None, mask="causal", interpret: bool = False,
+):
+    """Dispatch: decode kernel for short query blocks, prefill otherwise.
+
+    Mirrors the reference's L<=8 decode / MMA prefill split
+    (paged_attention.cpp:168-224) with a TPU-appropriate threshold.
+    """
+    D = q.shape[-1]
+    L = q.shape[2]
+    scale = (D**-0.5) if scale is None else scale
+    assert mask in ("causal", None), "paged attention supports causal masking"
+    if L <= 16:
+        return paged_flash_decode(
+            q, key_pages, value_pages, block_table, context_lens,
+            scale=float(scale), interpret=interpret,
+        )
+    return paged_flash_prefill(
+        q, key_pages, value_pages, block_table, context_lens,
+        scale=float(scale), interpret=interpret,
+    )

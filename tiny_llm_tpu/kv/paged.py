@@ -1,0 +1,222 @@
+"""Paged KV cache: page pool, per-request handles, batch metadata.
+
+Parity targets: TinyKvPagedPool / TinyKvPagedCache / PagedKvMetadata
+(/root/reference/src/tiny_llm_ref/paged_kv_cache.py:11-360) and the paged
+side of BatchingKvCache (kv_cache.py:141-202). TPU-first redesign:
+
+* ONE pool for ALL layers — pages are [num_layers, P, H_kv, page_size, D]
+  with a single free list, because every append touches all layers
+  symmetrically, so page ids can be layer-invariant (the reference keeps
+  per-layer pools with identical allocation patterns; collapsing them
+  makes the block table one [B, max_pages] array instead of num_layers of
+  them, and lets the whole model step be one jitted call with one donated
+  pool buffer pair).
+* Capacity is FIXED at construction (pages = a preallocated device
+  tensor). The reference's geometric growth-with-copy
+  (paged_kv_cache.py:100-128) is a lazy-runtime idiom; under jit,
+  reallocation would recompile every step. Pool exhaustion raises — the
+  scheduler sizes the pool from max_seq_len * batch_size.
+* The actual page WRITES happen inside the jitted model step (scatter on
+  the donated pool arrays); these host-side objects track only free-list
+  and logical metadata (page ids, offsets), mirroring the reference's
+  id/len bookkeeping (paged_kv_cache.py:187-360).
+
+Instrumentation counters mirror the reference's
+(reused_page_allocations etc., paged_kv_cache.py:37-40) so the serving
+benchmarks can report the same ledger.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cache import KVCache
+
+
+class PagePool:
+    """Physical page storage shared by every request and layer."""
+
+    def __init__(
+        self,
+        num_layers: int,
+        num_pages: int,
+        num_kv_heads: int,
+        page_size: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+    ):
+        self.num_layers = num_layers
+        self.num_pages = num_pages
+        self.num_kv_heads = num_kv_heads
+        self.page_size = page_size
+        self.head_dim = head_dim
+        self.dtype = dtype
+        shape = (num_layers, num_pages, num_kv_heads, page_size, head_dim)
+        self.key_pages = jnp.zeros(shape, dtype=dtype)
+        self.value_pages = jnp.zeros(shape, dtype=dtype)
+        # Page 0 is the TRASH page: -1 block-table entries clamp to it, so
+        # idle batch slots scatter their garbage writes there instead of
+        # into a live page. Never allocated.
+        self._free: list[int] = list(range(num_pages - 1, 0, -1))
+        # Ledger (reference paged_kv_cache.py:37-40).
+        self.reused_page_allocations = 0
+        self._ever_allocated: set[int] = set()
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    @property
+    def live_pages(self) -> int:
+        return self.num_pages - 1 - len(self._free)
+
+    def allocate_page(self) -> int:
+        if not self._free:
+            raise RuntimeError(
+                f"page pool exhausted ({self.num_pages} pages); size the pool "
+                "for max_seq_len * max_active_requests"
+            )
+        page = self._free.pop()
+        if page in self._ever_allocated:
+            self.reused_page_allocations += 1
+        self._ever_allocated.add(page)
+        return page
+
+    def free_page(self, page: int) -> None:
+        self._free.append(page)
+
+    def reset(self) -> None:
+        self._free = list(range(self.num_pages - 1, 0, -1))
+
+    def update_tensors(self, key_pages: jax.Array, value_pages: jax.Array) -> None:
+        """Install post-step (donated) pool buffers."""
+        self.key_pages = key_pages
+        self.value_pages = value_pages
+
+    def materialize(self) -> None:
+        jax.block_until_ready((self.key_pages, self.value_pages))
+
+
+class PagedKVCache(KVCache):
+    """Per-request logical view: page ids + token offset.
+
+    Layer-invariant: one id list serves every layer (see PagePool).
+    """
+
+    def __init__(self, pool: PagePool):
+        self.pool = pool
+        self.page_ids: list[int] = []
+        self._offset = 0
+        self._released = False
+
+    @property
+    def offset(self) -> int:
+        return self._offset
+
+    @property
+    def num_pages(self) -> int:
+        return len(self.page_ids)
+
+    def ensure_capacity(self, new_offset: int) -> None:
+        """Allocate pages so positions [0, new_offset) are backed."""
+        ps = self.pool.page_size
+        needed = (new_offset + ps - 1) // ps
+        while len(self.page_ids) < needed:
+            self.page_ids.append(self.pool.allocate_page())
+
+    def advance(self, n: int) -> None:
+        """Record n appended tokens (pages must already be ensured)."""
+        self._offset += n
+        assert self._offset <= len(self.page_ids) * self.pool.page_size
+
+    def rewind(self, n: int) -> None:
+        """Drop the newest n tokens; free whole trailing pages
+        (reference paged_kv_cache.py:331-351)."""
+        assert n <= self._offset
+        self._offset -= n
+        ps = self.pool.page_size
+        needed = (self._offset + ps - 1) // ps
+        while len(self.page_ids) > max(needed, 0):
+            self.pool.free_page(self.page_ids.pop())
+
+    def release(self) -> None:
+        if self._released:
+            return
+        for p in self.page_ids:
+            self.pool.free_page(p)
+        self.page_ids = []
+        self._released = True
+
+    def materialize(self) -> None:
+        self.pool.materialize()
+
+    def block_table_row(self, width: int) -> list[int]:
+        return self.page_ids + [-1] * (width - len(self.page_ids))
+
+
+class PagedBatchingKVCache(KVCache):
+    """Slot-multiplexed paged cache for continuous batching.
+
+    Reference parity: BatchingKvCache's paged path (kv_cache.py:141-221).
+    Installation and removal are O(1) metadata — the pages already live in
+    the shared pool.
+    """
+
+    owns_added_requests = True  # installation is by reference, not copy
+
+    def __init__(self, pool: PagePool, max_active_requests: int):
+        self.pool = pool
+        self.max_active_requests = max_active_requests
+        self.slots: list[PagedKVCache | None] = [None] * max_active_requests
+
+    @property
+    def offset(self) -> int:
+        return max((c.offset for c in self.slots if c is not None), default=0)
+
+    @property
+    def offsets(self) -> np.ndarray:
+        return np.asarray(
+            [(c.offset if c is not None else 0) for c in self.slots], np.int32
+        )
+
+    @property
+    def active(self) -> np.ndarray:
+        return np.asarray([c is not None for c in self.slots], bool)
+
+    def add_request(self, prefilled: PagedKVCache, slot: int) -> None:
+        if slot >= self.max_active_requests:
+            raise ValueError(f"slot {slot} out of range")
+        if prefilled.pool is not self.pool:
+            raise ValueError("paged batch caches must share one page pool")
+        self.slots[slot] = prefilled
+
+    def remove_request(self, slot: int) -> None:
+        if self.slots[slot] is None:
+            raise ValueError(f"slot {slot} is not active")
+        self.slots[slot].release()
+        self.slots[slot] = None
+
+    def rewind(self, n: int) -> None:
+        for c in self.slots:
+            if c is not None:
+                c.rewind(n)
+
+    def release(self) -> None:
+        for i, c in enumerate(self.slots):
+            if c is not None:
+                c.release()
+                self.slots[i] = None
+
+    def materialize(self) -> None:
+        self.pool.materialize()
+
+    def block_table(self, width: int | None = None) -> np.ndarray:
+        w = width or max((c.num_pages for c in self.slots if c is not None), default=1)
+        rows = []
+        for c in self.slots:
+            rows.append(
+                c.block_table_row(w) if c is not None else [-1] * w
+            )
+        return np.asarray(rows, np.int32)

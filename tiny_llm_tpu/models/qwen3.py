@@ -282,6 +282,64 @@ def forward_step(
     return _lm_head(params, h), new_keys, new_values
 
 
+def forward_step_paged(
+    params: Qwen3Params,
+    cfg: Qwen3Config,
+    rope_tabs: tuple[jax.Array, jax.Array],
+    tokens: jax.Array,  # [B, L]
+    offsets: jax.Array,  # [B] int32
+    key_pages: jax.Array,  # [num_layers, P, H_kv, ps, D] (donated)
+    value_pages: jax.Array,  # (donated)
+    block_table: jax.Array,  # [B, max_pages] int32, -1 padded
+    *,
+    logits_to_keep: int | None,
+    attn_impl: str | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One model step over the paged KV pool (week-3 serving path).
+
+    Scatters this chunk's K/V into the pages named by the block table,
+    then runs paged flash attention per layer. The pool tensors are
+    donated, so the scatters compile to in-place writes — the aliasing
+    trick of the reference's Metal paged_cache_update
+    (paged_attention.cpp:44-49) comes for free from XLA buffer donation.
+    """
+    from ..kernels import paged_attention
+
+    B, L = tokens.shape
+    ps = key_pages.shape[3]
+    positions = offsets[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    lens = offsets + L
+    # Physical target of every appended token: -1 (idle slot) pages clamp
+    # to the pool's trash page 0.
+    page_idx = jnp.take_along_axis(
+        block_table, jnp.minimum(positions // ps, block_table.shape[1] - 1), axis=1
+    )
+    page_idx = jnp.maximum(page_idx, 0)  # [B, L]
+    slot = positions % ps  # [B, L]
+
+    scale = cfg.head_dim**-0.5
+    h = _embed(params, tokens)
+    kp, vp = key_pages, value_pages
+    for i, layer in enumerate(params.layers):
+        r = rms_norm(h, layer.input_layernorm, cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, layer.attn, r, positions, rope_tabs)
+        # [B, H, L, D] -> [B, L, H, D] to match scatter index layout.
+        kp = kp.at[i, page_idx, :, slot, :].set(k.transpose(0, 2, 1, 3))
+        vp = vp.at[i, page_idx, :, slot, :].set(v.transpose(0, 2, 1, 3))
+        attn = paged_attention(
+            q, kp[i], vp[i], block_table, lens, scale=scale,
+            mask="causal", impl=attn_impl,
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, L, -1)
+        h = h + _linear(attn, layer.attn.wo)
+        r = rms_norm(h, layer.post_attention_layernorm, cfg.rms_norm_eps)
+        h = h + _mlp(cfg, layer.mlp, r)
+    if logits_to_keep is not None:
+        h = h[:, -logits_to_keep:, :]
+    h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)
+    return _lm_head(params, h), kp, vp
+
+
 def _scatter_rows(
     buf: jax.Array,  # [num_layers, B, H, S_max, D]
     layer: int,
@@ -339,15 +397,43 @@ class Qwen3Model:
             static_argnames=("window", "logits_to_keep"),
             donate_argnames=("keys", "values"),
         )
+        self._paged_step_jit = jax.jit(
+            functools.partial(forward_step_paged, cfg=cfg, attn_impl=attn_impl),
+            static_argnames=("logits_to_keep",),
+            donate_argnames=("key_pages", "value_pages"),
+        )
+        self.page_pool = None
 
     # -- week-1 style full forward ------------------------------------------
     def forward_full(self, tokens: jax.Array) -> jax.Array:
         return self._full_jit(self.params, tokens=tokens)
 
     # -- cache management ----------------------------------------------------
+    def enable_paged_attention(
+        self, num_pages: int | None = None, page_size: int = 128
+    ) -> "Qwen3Model":
+        """Attach a page pool; create_kv_cache() then returns paged handles
+        (the week-2 -> week-3 model switch, qwen3_week3.py:231-234)."""
+        from ..kv.paged import PagePool
+
+        if num_pages is None:
+            num_pages = max(self.max_seq_len // page_size * 4, 8) + 1
+        self.page_pool = PagePool(
+            num_layers=self.cfg.num_hidden_layers,
+            num_pages=num_pages,
+            num_kv_heads=self.cfg.num_key_value_heads,
+            page_size=page_size,
+            head_dim=self.cfg.head_dim,
+        )
+        return self
+
     def create_kv_cache(
         self, batch_size: int = 1, max_seq_len: int | None = None
-    ) -> DenseKVCache:
+    ) -> KVCache:
+        if self.page_pool is not None:
+            from ..kv.paged import PagedKVCache
+
+            return PagedKVCache(self.page_pool)
         return DenseKVCache(
             num_layers=self.cfg.num_hidden_layers,
             batch_size=batch_size,
@@ -358,7 +444,11 @@ class Qwen3Model:
 
     def create_batching_kv_cache(
         self, max_active_requests: int, max_seq_len: int | None = None
-    ) -> BatchingKVCache:
+    ) -> KVCache:
+        if self.page_pool is not None:
+            from ..kv.paged import PagedBatchingKVCache
+
+            return PagedBatchingKVCache(self.page_pool, max_active_requests)
         return BatchingKVCache(
             num_layers=self.cfg.num_hidden_layers,
             max_active_requests=max_active_requests,
@@ -384,6 +474,11 @@ class Qwen3Model:
             if logits_to_keep is not None:
                 logits = logits[:, -logits_to_keep:, :]
             return logits
+
+        from ..kv.paged import PagedBatchingKVCache, PagedKVCache
+
+        if isinstance(cache, (PagedKVCache, PagedBatchingKVCache)):
+            return self._call_paged(inputs, offset, cache, logits_to_keep)
 
         if isinstance(cache, BatchingKVCache):
             offsets_np = np.asarray(cache.offsets, dtype=np.int32)
@@ -422,4 +517,54 @@ class Qwen3Model:
             cache.update_tensors(keys, values, new_offsets)
         else:
             cache.update_tensors(keys, values, int(offsets_np.max(initial=0)) + L)
+        return logits
+
+    def _call_paged(self, inputs, offset, cache, logits_to_keep):
+        from ..kv.paged import PagedBatchingKVCache, PagedKVCache
+
+        B, L = inputs.shape
+        pool = cache.pool
+        ps = pool.page_size
+        if isinstance(cache, PagedBatchingKVCache):
+            offsets_np = cache.offsets
+            if offset is not None:
+                given = np.asarray(offset, dtype=np.int32).reshape(-1)
+                offsets_np = np.where(cache.active, given, offsets_np)
+            assert B == cache.max_active_requests
+            for c in cache.slots:
+                if c is not None:
+                    c.ensure_capacity(c.offset + L)
+            max_pages = max(
+                (c.num_pages for c in cache.slots if c is not None), default=1
+            )
+            width = bucket_for(max_pages, minimum=2)
+            table_np = cache.block_table(width)
+        else:
+            if offset is None:
+                offset = cache.offset
+            offsets_np = np.full((B,), int(np.max(offset)), dtype=np.int32)
+            assert int(offsets_np[0]) == cache.offset, (
+                f"offset {offsets_np} disagrees with cache offset {cache.offset}"
+            )
+            cache.ensure_capacity(cache.offset + L)
+            width = bucket_for(cache.num_pages, minimum=2)
+            table_np = np.asarray([cache.block_table_row(width)] * B, np.int32)
+
+        logits, kp, vp = self._paged_step_jit(
+            self.params,
+            rope_tabs=self._rope_tables,
+            tokens=inputs,
+            offsets=jnp.asarray(offsets_np),
+            key_pages=pool.key_pages,
+            value_pages=pool.value_pages,
+            block_table=jnp.asarray(table_np),
+            logits_to_keep=logits_to_keep,
+        )
+        pool.update_tensors(kp, vp)
+        if isinstance(cache, PagedBatchingKVCache):
+            for c in cache.slots:
+                if c is not None:
+                    c.advance(L)
+        else:
+            cache.advance(L)
         return logits

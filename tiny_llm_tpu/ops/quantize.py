@@ -167,15 +167,18 @@ def from_mlx_packing(
 
 
 def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
-    """Reconstruct the dense weight [N, K]: w = q * scale + bias."""
+    """Reconstruct the dense weight [..., N, K]: w = q * scale + bias.
+
+    Supports stacked expert tensors (leading dims before [N, K])."""
     vals = unpack_supergroup(qt.packed, qt.k_padded, qt.group_size, qt.bits)
+    *lead, _ = qt.packed.shape
     G = qt.k_padded // qt.group_size
-    vg = vals.reshape(qt.out_features, G, qt.group_size).astype(jnp.float32)
+    vg = vals.reshape(*lead, G, qt.group_size).astype(jnp.float32)
     w = (
         vg * qt.scales.astype(jnp.float32)[..., None]
         + qt.biases.astype(jnp.float32)[..., None]
     )
-    return w.reshape(qt.out_features, qt.k_padded)[:, : qt.in_features].astype(dtype)
+    return w.reshape(*lead, qt.k_padded)[..., : qt.in_features].astype(dtype)
 
 
 def quantized_linear(

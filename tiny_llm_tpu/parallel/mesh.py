@@ -17,10 +17,18 @@ from jax.sharding import Mesh
 
 
 def make_mesh(dp: int = 1, tp: int | None = None, devices=None) -> Mesh:
-    """Build a (dp, tp) mesh from the available devices."""
+    """Build a (dp, tp) mesh from the available devices.
+
+    Axes are AUTO-typed: placement comes from NamedShardings on the params
+    and GSPMD propagates everything else (jax 0.9's explicit
+    sharding-in-types mode would instead demand out_sharding annotations
+    on every contraction over a sharded axis)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if tp is None:
         tp = n // dp
     assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
-    return jax.make_mesh((dp, tp), ("dp", "tp"), devices=devices)
+    auto = jax.sharding.AxisType.Auto
+    return jax.make_mesh(
+        (dp, tp), ("dp", "tp"), devices=devices, axis_types=(auto, auto)
+    )

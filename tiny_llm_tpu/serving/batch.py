@@ -18,6 +18,8 @@ from typing import Any, Callable
 import jax.numpy as jnp
 import numpy as np
 
+from .metrics import ServingMetrics
+
 
 def _argmax_last(logits) -> np.ndarray:
     lp = logits[:, -1, :].astype(jnp.float32)
@@ -96,6 +98,8 @@ def batch_generate(
     prefill_step: int = 128,
     progress_callback: Callable | None = None,
     use_paged: bool | None = None,
+    max_output_tokens: int | None = None,
+    metrics: "ServingMetrics | None" = None,
 ) -> list[tuple[int, str]]:
     """Serve `prompts` with continuous batching; returns (prompt_idx, text).
 
@@ -103,22 +107,8 @@ def batch_generate(
     iteration performs at most one prefill chunk, then one batched decode
     step over the slot cache, then handles evictions and admissions.
     """
+    del use_paged  # the cache objects carry the paged/dense distinction
     prompts = list(prompts)
-    if use_paged is None:
-        use_paged = hasattr(model, "create_paged_state")
-    if use_paged:
-        from .paged_runner import paged_batch_generate
-
-        return paged_batch_generate(
-            model,
-            tokenizer,
-            prompts,
-            max_seq_len=max_seq_len,
-            batch_size=batch_size,
-            prefill_step=prefill_step,
-            progress_callback=progress_callback,
-        )
-
     decode_requests: list[Request | None] = [None] * batch_size
     kv_cache = model.create_batching_kv_cache(
         max_active_requests=batch_size, max_seq_len=max_seq_len
@@ -149,12 +139,20 @@ def batch_generate(
                     for i in range(batch_size):
                         if decode_requests[i] is None:
                             kv_cache.add_request(pending.kv_cache, i)
-                            pending.kv_cache.release()
+                            if not getattr(kv_cache, "owns_added_requests", False):
+                                # Dense batching copies the rows in; the
+                                # source cache can free its slab. Paged
+                                # installation takes ownership instead.
+                                pending.kv_cache.release()
                             decode_requests[i] = pending
                             pending = None
                             break
 
         if any(r is not None for r in decode_requests):
+            if metrics is not None:
+                active = sum(1 for r in decode_requests if r is not None)
+                pool = getattr(kv_cache, "pool", None)
+                metrics.observe_step(active, pool)
             next_tokens = [
                 (r.next_token if r is not None else 0) for r in decode_requests
             ]
@@ -176,9 +174,18 @@ def batch_generate(
                     reason = "EOS"
                 elif req.offset >= max_seq_len:
                     reason = "max seq len"
+                elif (
+                    max_output_tokens is not None
+                    and len(req.output_ids) >= max_output_tokens
+                ):
+                    reason = "max output tokens"
                 if reason is not None:
                     kv_cache.remove_request(i)
                     result.append((req.prompt_idx, req.text()))
+                    if metrics is not None:
+                        metrics.requests_completed += 1
+                        metrics.prefill_tokens += len(req.prefill_tokens)
+                        metrics.output_tokens += len(req.output_ids)
                     decode_requests[i] = None
         if progress_callback is not None:
             progress_callback(decode_requests, pending, len(prompts), start)
