@@ -1,0 +1,73 @@
+"""Long-context decode-attention ceiling sweep.
+
+Parity: /root/reference/benches/bench_long_context_attention.py — measure
+decode attention alone at the Qwen3-4B shape (32 q heads / 8 kv heads,
+D=128, one query token) across context lengths, and report the
+attention-only decode ceiling tok/s = 1000 / (layers * ms_per_layer).
+Baseline (M4 Pro, BASELINE.md): 2K -> 195.3, 8K -> 96.7, 32K -> 30.3.
+
+Amortizes the dispatch latency of the TPU tunnel by looping inside jit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_CEILING = {2048: 195.3, 8192: 96.7, 32768: 30.3, 65536: 16.1,
+                    131072: 7.6}
+
+
+def measure(impl: str, S: int, iters: int = 20) -> float:
+    from tiny_llm_tpu.kernels.flash_attention import flash_decode_attention
+
+    B, Hq, Hkv, D = 1, 32, 8, 128
+    k = jnp.zeros((B, Hkv, S, D), jnp.bfloat16)
+    v = jnp.zeros((B, Hkv, S, D), jnp.bfloat16)
+    q = jnp.ones((B, Hq, 1, D), jnp.bfloat16)
+    lens = jnp.asarray([S], jnp.int32)
+
+    @jax.jit
+    def loop(q0):
+        def body(i, carry):
+            s, qq = carry
+            o = flash_decode_attention(qq, k, v, lens, impl=impl)
+            return (s + o.astype(jnp.float32).sum(), qq * 1.0000001)
+        return jax.lax.fori_loop(0, iters, body, (jnp.float32(0), q0))
+
+    loop(q)[0].block_until_ready()
+    t0 = time.perf_counter()
+    loop(q)[0].block_until_ready()
+    return (time.perf_counter() - t0) / iters * 1e3  # ms per call
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--contexts", type=int, nargs="*",
+                   default=[2048, 8192, 32768, 65536])
+    p.add_argument("--impl", default=None, choices=["xla", "pallas"])
+    p.add_argument("--layers", type=int, default=36)
+    args = p.parse_args()
+
+    rows = []
+    for S in args.contexts:
+        ms = measure(args.impl or "pallas", S)
+        ceiling = 1000.0 / (args.layers * ms)
+        base = BASELINE_CEILING.get(S)
+        rows.append({
+            "context": S,
+            "ms_per_layer": round(ms, 3),
+            "ceiling_tok_s": round(ceiling, 1),
+            "kv_gib": round(2 * 8 * S * 128 * 2 / 2**30, 2),
+            "vs_baseline": round(ceiling / base, 2) if base else None,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    print(json.dumps({"metric": "long_context_attention_sweep", "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
