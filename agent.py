@@ -31,6 +31,9 @@ def human_confirm(action) -> bool:
 
 
 def main() -> None:
+    from tiny_llm_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("task", nargs="?", help="one-shot task text")
     p.add_argument("--interactive", action="store_true")

@@ -22,6 +22,9 @@ DEFAULT_PROMPTS = [
 
 
 def main() -> None:
+    from tiny_llm_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="qwen3-0.6b")
     p.add_argument("--checkpoint-path", default=None)

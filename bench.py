@@ -47,9 +47,10 @@ def serving_bench(args) -> None:
     outs = rng.integers(32, 129, size=args.requests)
     prompts = ["x" * int(n) for n in lens]  # 1 byte token per char
 
-    # Warmup: run a short campaign to compile prefill/decode buckets.
+    # Warmup: compile the prefill chunk ladder at the widest block table
+    # plus the decode shapes, using one max-length and one odd-length prompt.
     batch_generate(
-        model, tok, prompts[:2], max_seq_len=args.max_seq,
+        model, tok, ["x" * 1024, "x" * 37], max_seq_len=args.max_seq,
         batch_size=args.batch_size, prefill_step=args.prefill_step,
         max_output_tokens=8,
     )
@@ -94,6 +95,9 @@ def serving_bench(args) -> None:
 
 
 def main() -> None:
+    from tiny_llm_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="qwen3-4b")
     p.add_argument("--mode", default="decode", choices=["decode", "serving"])

@@ -47,6 +47,9 @@ def build_model(
 
 
 def main() -> None:
+    from tiny_llm_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="qwen3-0.6b", help="shortcut name")
     p.add_argument("--checkpoint-path", default=None, help="HF checkpoint dir")

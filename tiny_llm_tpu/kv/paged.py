@@ -46,6 +46,7 @@ class PagePool:
         page_size: int,
         head_dim: int,
         dtype=jnp.bfloat16,
+        native: bool | None = None,
     ):
         self.num_layers = num_layers
         self.num_pages = num_pages
@@ -59,20 +60,43 @@ class PagePool:
         # Page 0 is the TRASH page: -1 block-table entries clamp to it, so
         # idle batch slots scatter their garbage writes there instead of
         # into a live page. Never allocated.
+        #
+        # Bookkeeping backend: the native C++ index (csrc/page_allocator.cpp)
+        # when the toolchain is available, else pure Python. Identical
+        # semantics; the native path also assembles block tables in C++.
+        self.native_index = None
+        if native is not False:
+            try:
+                from ..native import NativePageIndex
+
+                self.native_index = NativePageIndex(num_pages)
+            except Exception:
+                if native is True:
+                    raise
         self._free: list[int] = list(range(num_pages - 1, 0, -1))
         # Ledger (reference paged_kv_cache.py:37-40).
-        self.reused_page_allocations = 0
+        self._reused = 0
         self._ever_allocated: set[int] = set()
 
     @property
     def free_pages(self) -> int:
+        if self.native_index is not None:
+            return self.native_index.free_pages
         return len(self._free)
 
     @property
     def live_pages(self) -> int:
-        return self.num_pages - 1 - len(self._free)
+        return self.num_pages - 1 - self.free_pages
+
+    @property
+    def reused_page_allocations(self) -> int:
+        if self.native_index is not None:
+            return self.native_index.reused_page_allocations
+        return self._reused
 
     def allocate_page(self) -> int:
+        if self.native_index is not None:
+            return self.native_index.allocate_page()
         if not self._free:
             raise RuntimeError(
                 f"page pool exhausted ({self.num_pages} pages); size the pool "
@@ -80,14 +104,22 @@ class PagePool:
             )
         page = self._free.pop()
         if page in self._ever_allocated:
-            self.reused_page_allocations += 1
+            self._reused += 1
         self._ever_allocated.add(page)
         return page
 
     def free_page(self, page: int) -> None:
+        if self.native_index is not None:
+            self.native_index.free_page(page)
+            return
         self._free.append(page)
 
     def reset(self) -> None:
+        if self.native_index is not None:
+            from ..native import NativePageIndex
+
+            self.native_index = NativePageIndex(self.num_pages)
+            return
         self._free = list(range(self.num_pages - 1, 0, -1))
 
     def update_tensors(self, key_pages: jax.Array, value_pages: jax.Array) -> None:
@@ -107,20 +139,31 @@ class PagedKVCache(KVCache):
 
     def __init__(self, pool: PagePool):
         self.pool = pool
-        self.page_ids: list[int] = []
-        self._offset = 0
+        self._native = pool.native_index
+        if self._native is not None:
+            self._req = self._native.request_create()
+        else:
+            self.page_ids: list[int] = []
+            self._offset = 0
         self._released = False
 
     @property
     def offset(self) -> int:
+        if self._native is not None:
+            return self._native.request_offset(self._req)
         return self._offset
 
     @property
     def num_pages(self) -> int:
+        if self._native is not None:
+            return self._native.request_num_pages(self._req)
         return len(self.page_ids)
 
     def ensure_capacity(self, new_offset: int) -> None:
         """Allocate pages so positions [0, new_offset) are backed."""
+        if self._native is not None:
+            self._native.request_ensure(self._req, new_offset, self.pool.page_size)
+            return
         ps = self.pool.page_size
         needed = (new_offset + ps - 1) // ps
         while len(self.page_ids) < needed:
@@ -128,13 +171,20 @@ class PagedKVCache(KVCache):
 
     def advance(self, n: int) -> None:
         """Record n appended tokens (pages must already be ensured)."""
+        if self._native is not None:
+            self._native.request_advance(self._req, n)
+            assert self.offset <= self.num_pages * self.pool.page_size
+            return
         self._offset += n
         assert self._offset <= len(self.page_ids) * self.pool.page_size
 
     def rewind(self, n: int) -> None:
         """Drop the newest n tokens; free whole trailing pages
         (reference paged_kv_cache.py:331-351)."""
-        assert n <= self._offset
+        assert n <= self.offset
+        if self._native is not None:
+            self._native.request_rewind(self._req, n, self.pool.page_size)
+            return
         self._offset -= n
         ps = self.pool.page_size
         needed = (self._offset + ps - 1) // ps
@@ -144,15 +194,20 @@ class PagedKVCache(KVCache):
     def release(self) -> None:
         if self._released:
             return
-        for p in self.page_ids:
-            self.pool.free_page(p)
-        self.page_ids = []
+        if self._native is not None:
+            self._native.request_release(self._req)
+        else:
+            for p in self.page_ids:
+                self.pool.free_page(p)
+            self.page_ids = []
         self._released = True
 
     def materialize(self) -> None:
         self.pool.materialize()
 
     def block_table_row(self, width: int) -> list[int]:
+        if self._native is not None:
+            return list(self._native.block_table([self._req], width)[0])
         return self.page_ids + [-1] * (width - len(self.page_ids))
 
 
@@ -214,6 +269,10 @@ class PagedBatchingKVCache(KVCache):
 
     def block_table(self, width: int | None = None) -> np.ndarray:
         w = width or max((c.num_pages for c in self.slots if c is not None), default=1)
+        native = self.pool.native_index
+        if native is not None:
+            handles = [(c._req if c is not None else -1) for c in self.slots]
+            return native.block_table(handles, w)
         rows = []
         for c in self.slots:
             rows.append(

@@ -41,6 +41,11 @@ class Request:
         self.model = model
         self.kv_cache = model.create_kv_cache()
         self.prefill_tokens = list(tokenizer.encode(prompt))
+        if hasattr(self.kv_cache, "ensure_capacity"):
+            # Reserve the whole prompt's pages at admission: stable block-
+            # table width across chunks (fewer compiled shapes) and no
+            # mid-prefill pool exhaustion.
+            self.kv_cache.ensure_capacity(len(self.prefill_tokens))
         self.prefill_max_step = prefill_max_step
         self.is_done = False
         self.is_prefill_done = False
@@ -55,10 +60,17 @@ class Request:
         self._tokenizer = tokenizer
 
     def try_prefill(self) -> None:
-        """Advance prefill by at most prefill_max_step tokens."""
+        """Advance prefill by at most prefill_max_step tokens.
+
+        Chunk sizes are powers of two (largest fitting the remainder), so
+        any prompt decomposes into at most log2(prefill_max_step)+1
+        distinct compiled step shapes — arbitrary remainder lengths would
+        otherwise force one XLA compile per length."""
         if self.is_prefill_done:
             raise ValueError("prefill called after done")
         n = min(self.prefill_max_step, len(self.prefill_tokens) - self.offset)
+        if n > 1:
+            n = 1 << (n.bit_length() - 1)  # largest power of two <= n
         chunk = self.prefill_tokens[self.offset : self.offset + n]
         logits = self.model(
             jnp.asarray([chunk], dtype=jnp.int32),
