@@ -42,15 +42,23 @@ def serving_bench(args) -> None:
     model.enable_paged_attention(num_pages=pages, page_size=128)
 
     rng = np.random.default_rng(0)
-    tok = ByteTokenizer()
+
+    class NoEosTok(ByteTokenizer):
+        # Synthetic weights produce an arbitrary argmax token; a real EOS id
+        # would end every request after ~1 step. Requests run to the output
+        # cap instead, like the reference's synthetic-token benchmark.
+        eos_token_id = -1
+
+    tok = NoEosTok()
     lens = rng.integers(128, 1025, size=args.requests)
     outs = rng.integers(32, 129, size=args.requests)
     prompts = ["x" * int(n) for n in lens]  # 1 byte token per char
 
-    # Warmup: compile the prefill chunk ladder at the widest block table
-    # plus the decode shapes, using one max-length and one odd-length prompt.
+    # Warmup: a 255-token prompt decomposes into every power-of-two chunk
+    # (128+64+32+16+8+4+2+1), compiling the FULL prefill ladder; the
+    # second prompt warms max length and the batched decode shape.
     batch_generate(
-        model, tok, ["x" * 1024, "x" * 37], max_seq_len=args.max_seq,
+        model, tok, ["x" * 255, "x" * 1024], max_seq_len=args.max_seq,
         batch_size=args.batch_size, prefill_step=args.prefill_step,
         max_output_tokens=8,
     )
@@ -72,7 +80,7 @@ def serving_bench(args) -> None:
     )
     metrics.wall_s = time.perf_counter() - t0
     dt = metrics.wall_s
-    out_tokens = sum(len(tok.encode(t)) for _, t in results)
+    out_tokens = metrics.output_tokens  # exact (decoded text round-trips lossily)
     in_tokens = int(lens.sum())
     print(
         json.dumps(

@@ -113,6 +113,56 @@ def test_dp_mesh_batch_sharding():
     assert_allclose(np.asarray(out, np.float32), base, jnp.bfloat16, atol=5e-2)
 
 
+def test_sequence_parallel_kv_decode_matches_single_device():
+    """SP/CP: KV sharded along the SEQUENCE axis (the north-star 32K
+    config, SURVEY.md §2.8). Under GSPMD the online-softmax reductions
+    over the sharded axis lower to cross-shard collectives — numerics
+    must match the single-device result exactly (the cross-shard combine
+    is the reference decode kernels' cross-simdgroup merge rule)."""
+    cfg = tp_config()
+    params = random_params(cfg, key=3, quantized=False)
+    single = Qwen3Model(params, cfg, max_seq_len=64, attn_impl="xla")
+    ids = [5, 3, 8, 1, 9, 2, 7, 4]
+    tokens = jnp.asarray([ids], jnp.int32)
+    sc = single.create_kv_cache()
+    single(tokens[:, :7], 0, sc)
+    base = np.asarray(single(tokens[:, 7:8], 7, sc, logits_to_keep=1), np.float32)
+
+    mesh = make_mesh(dp=1, tp=8)
+    sp_model = Qwen3Model(params, cfg, max_seq_len=64, attn_impl="xla")
+    tc = sp_model.create_kv_cache()
+    kv_shard = NamedSharding(mesh, P(None, None, None, "tp", None))  # S axis
+    tc.keys = jax.device_put(tc.keys, kv_shard)
+    tc.values = jax.device_put(tc.values, kv_shard)
+    sp_model(tokens[:, :7], 0, tc)
+    got = np.asarray(sp_model(tokens[:, 7:8], 7, tc, logits_to_keep=1), np.float32)
+    assert_allclose(got, base, jnp.bfloat16, atol=5e-2)
+
+
+def test_expert_parallel_moe_matches_single_device():
+    """EP: experts sharded over the mesh; routing + grouped matmul under
+    GSPMD must match the single-device MoE layer."""
+    from tiny_llm_tpu.models import tiny_test_config
+
+    cfg = tiny_test_config(
+        num_hidden_layers=1,
+        num_experts=8,
+        num_experts_per_tok=2,
+        moe_intermediate_size=128,
+        norm_topk_prob=True,
+    )
+    params = random_params(cfg, key=4, quantized=True)
+    single = Qwen3Model(params, cfg, max_seq_len=32)
+    tokens = jnp.asarray([[5, 3, 8, 1]], jnp.int32)
+    base = np.asarray(single.forward_full(tokens), np.float32)
+
+    mesh = make_mesh(dp=1, tp=8)
+    scfg = ShardingConfig(mesh)
+    ep_model = Qwen3Model(shard_params(params, scfg), cfg, max_seq_len=32)
+    got = np.asarray(ep_model.forward_full(tokens), np.float32)
+    assert_allclose(got, base, jnp.bfloat16, atol=5e-2)
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver's dryrun hook must compile+run on the virtual mesh."""
     import importlib.util, pathlib

@@ -420,10 +420,17 @@ class Qwen3Model:
             num_pages = max(self.max_seq_len // page_size * 4, 8) + 1
         self.page_pool = PagePool(
             num_layers=self.cfg.num_hidden_layers,
-            num_pages=num_pages,
             num_kv_heads=self.cfg.num_key_value_heads,
+            num_pages=num_pages,
             page_size=page_size,
             head_dim=self.cfg.head_dim,
+        )
+        # One FIXED block-table width for every step: over-provisioned
+        # widths are nearly free (clamped index maps elide the DMA of dead
+        # tiles), while per-width buckets would multiply the compiled-shape
+        # ladder by ~4x on a remote-compile TPU.
+        self._paged_width = bucket_for(
+            -(-self.max_seq_len // page_size), minimum=2
         )
         return self
 
@@ -534,10 +541,7 @@ class Qwen3Model:
             for c in cache.slots:
                 if c is not None:
                     c.ensure_capacity(c.offset + L)
-            max_pages = max(
-                (c.num_pages for c in cache.slots if c is not None), default=1
-            )
-            width = bucket_for(max_pages, minimum=2)
+            width = self._paged_width
             table_np = cache.block_table(width)
         else:
             if offset is None:
@@ -547,7 +551,7 @@ class Qwen3Model:
                 f"offset {offsets_np} disagrees with cache offset {cache.offset}"
             )
             cache.ensure_capacity(cache.offset + L)
-            width = bucket_for(cache.num_pages, minimum=2)
+            width = self._paged_width
             table_np = np.asarray([cache.block_table_row(width)] * B, np.int32)
 
         logits, kp, vp = self._paged_step_jit(
