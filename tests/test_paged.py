@@ -207,3 +207,21 @@ def test_paged_serving_end_to_end(paired_models):
     by_idx = dict(results)
     for i, p in enumerate(prompts):
         assert by_idx[i] == singles[i], (i, by_idx[i], singles[i])
+
+
+def test_decode_burst_matches_stepwise(paired_models):
+    """The K-step fused decode burst must produce the same outputs as
+    per-step scheduling (modulo nothing — greedy is deterministic)."""
+    dense, paged = paired_models
+    tok = FakeTokenizer()
+    prompts = ["hello world", "abc", "the quick brown fox"]
+    step_results = batch_generate(
+        paged, tok, prompts, max_seq_len=64, batch_size=2, prefill_step=8,
+        max_output_tokens=7, decode_burst=1,
+    )
+    burst_results = batch_generate(
+        paged, tok, prompts, max_seq_len=64, batch_size=2, prefill_step=8,
+        max_output_tokens=7, decode_burst=4,
+    )
+    assert dict(step_results) == dict(burst_results)
+    assert paged.page_pool.live_pages == 0

@@ -340,6 +340,46 @@ def forward_step_paged(
     return _lm_head(params, h), kp, vp
 
 
+def forward_decode_burst_paged(
+    params: Qwen3Params,
+    cfg: Qwen3Config,
+    rope_tabs: tuple[jax.Array, jax.Array],
+    tokens0: jax.Array,  # [B] int32 — first token of the burst per row
+    offsets0: jax.Array,  # [B] int32
+    key_pages: jax.Array,  # (donated)
+    value_pages: jax.Array,  # (donated)
+    block_table: jax.Array,  # [B, width] — must cover offsets0 + steps
+    *,
+    steps: int,
+    attn_impl: str | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """K greedy decode steps in ONE dispatch (lax.scan over the model
+    step, argmax fed back on-device). Returns (tokens [steps, B], pages).
+
+    The host-side dispatch-ahead loop this enables is what keeps the chip
+    busy when every host<->device round trip costs ~70 ms (remote-tunnel
+    serving; SURVEY.md §7 hard-part 5). EOS rows keep decoding garbage
+    until the host inspects the burst — their tokens are discarded and
+    their pages must have `steps` tokens of slack.
+    """
+
+    def body(carry, _):
+        tokens, offsets, kp, vp = carry
+        logits, kp, vp = forward_step_paged(
+            params, cfg, rope_tabs, tokens[:, None], offsets, kp, vp,
+            block_table, logits_to_keep=1, attn_impl=attn_impl,
+        )
+        nxt = jnp.argmax(logits[:, -1, :].astype(jnp.float32), axis=-1).astype(
+            jnp.int32
+        )
+        return (nxt, offsets + 1, kp, vp), nxt
+
+    (_, _, kp, vp), toks = jax.lax.scan(
+        body, (tokens0, offsets0, key_pages, value_pages), length=steps
+    )
+    return toks, kp, vp
+
+
 def _scatter_rows(
     buf: jax.Array,  # [num_layers, B, H, S_max, D]
     layer: int,
@@ -400,6 +440,13 @@ class Qwen3Model:
         self._paged_step_jit = jax.jit(
             functools.partial(forward_step_paged, cfg=cfg, attn_impl=attn_impl),
             static_argnames=("logits_to_keep",),
+            donate_argnames=("key_pages", "value_pages"),
+        )
+        self._paged_burst_jit = jax.jit(
+            functools.partial(
+                forward_decode_burst_paged, cfg=cfg, attn_impl=attn_impl
+            ),
+            static_argnames=("steps",),
             donate_argnames=("key_pages", "value_pages"),
         )
         self.page_pool = None
@@ -525,6 +572,42 @@ class Qwen3Model:
         else:
             cache.update_tensors(keys, values, int(offsets_np.max(initial=0)) + L)
         return logits
+
+    def decode_burst(
+        self,
+        cache,  # PagedBatchingKVCache
+        first_tokens: np.ndarray,  # [B] int32 — next token per slot
+        steps: int,
+    ) -> np.ndarray:
+        """Greedy-decode `steps` tokens for every active slot in ONE device
+        dispatch + ONE host fetch. Returns int32 [steps, B]. Idle slots
+        produce garbage. Slots advance by `steps` (the scheduler truncates
+        at EOS and rewinds or evicts afterwards)."""
+        from ..kv.paged import PagedBatchingKVCache
+
+        assert isinstance(cache, PagedBatchingKVCache)
+        pool = cache.pool
+        offsets_np = cache.offsets
+        for c in cache.slots:
+            if c is not None:
+                c.ensure_capacity(c.offset + steps)
+        table_np = cache.block_table(self._paged_width)
+        toks, kp, vp = self._paged_burst_jit(
+            self.params,
+            rope_tabs=self._rope_tables,
+            tokens0=jnp.asarray(first_tokens, jnp.int32),
+            offsets0=jnp.asarray(offsets_np),
+            key_pages=pool.key_pages,
+            value_pages=pool.value_pages,
+            block_table=jnp.asarray(table_np),
+            steps=steps,
+        )
+        pool.update_tensors(kp, vp)
+        out = np.asarray(jax.device_get(toks), np.int32)
+        for c in cache.slots:
+            if c is not None:
+                c.advance(steps)
+        return out
 
     def _call_paged(self, inputs, offset, cache, logits_to_keep):
         from ..kv.paged import PagedBatchingKVCache, PagedKVCache

@@ -111,7 +111,8 @@ def batch_generate(
     progress_callback: Callable | None = None,
     use_paged: bool | None = None,
     max_output_tokens: int | None = None,
-    metrics: "ServingMetrics | None" = None,
+    metrics: ServingMetrics | None = None,
+    decode_burst: int = 8,
 ) -> list[tuple[int, str]]:
     """Serve `prompts` with continuous batching; returns (prompt_idx, text).
 
@@ -161,36 +162,52 @@ def batch_generate(
                             break
 
         if any(r is not None for r in decode_requests):
+            active = sum(1 for r in decode_requests if r is not None)
             if metrics is not None:
-                active = sum(1 for r in decode_requests if r is not None)
                 pool = getattr(kv_cache, "pool", None)
                 metrics.observe_step(active, pool)
             next_tokens = [
                 (r.next_token if r is not None else 0) for r in decode_requests
             ]
-            offsets = [(r.offset if r is not None else 0) for r in decode_requests]
-            logits = model(
-                jnp.asarray(next_tokens, dtype=jnp.int32).reshape(-1, 1),
-                offsets,
-                kv_cache,
-                logits_to_keep=1,
+            # Multi-step decode burst: one dispatch + one host fetch for
+            # `decode_burst` tokens. Remote-tunnel D2H costs ~70 ms per
+            # fetch, so per-token fetching caps throughput at ~14 steps/s;
+            # bursting amortizes it. EOS reactions lag by < one burst.
+            can_burst = (
+                decode_burst > 1
+                and hasattr(model, "decode_burst")
+                and getattr(kv_cache, "owns_added_requests", False)
             )
-            sampled = _argmax_last(logits)
+            if can_burst:
+                toks = model.decode_burst(
+                    kv_cache, np.asarray(next_tokens, np.int32), decode_burst
+                )  # [K, B]
+            else:
+                logits = model(
+                    jnp.asarray(next_tokens, dtype=jnp.int32).reshape(-1, 1),
+                    [(r.offset if r is not None else 0) for r in decode_requests],
+                    kv_cache,
+                    logits_to_keep=1,
+                )
+                toks = _argmax_last(logits)[None, :]  # [1, B]
             for i in range(batch_size):
                 req = decode_requests[i]
                 if req is None:
                     continue
-                req.decode_done(int(sampled[i]))
                 reason = None
-                if req.is_done:
-                    reason = "EOS"
-                elif req.offset >= max_seq_len:
-                    reason = "max seq len"
-                elif (
-                    max_output_tokens is not None
-                    and len(req.output_ids) >= max_output_tokens
-                ):
-                    reason = "max output tokens"
+                for j in range(toks.shape[0]):
+                    req.decode_done(int(toks[j, i]))
+                    if req.is_done:
+                        reason = "EOS"
+                    elif req.offset >= max_seq_len:
+                        reason = "max seq len"
+                    elif (
+                        max_output_tokens is not None
+                        and len(req.output_ids) >= max_output_tokens
+                    ):
+                        reason = "max output tokens"
+                    if reason is not None:
+                        break
                 if reason is not None:
                     kv_cache.remove_request(i)
                     result.append((req.prompt_idx, req.text()))
