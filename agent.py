@@ -97,9 +97,15 @@ def main() -> None:
     workspace = Workspace(
         policy, session_log=session, journal=journal, confirm=confirm
     )
+    # The summarizer runs in a SEPARATE generation session so compaction
+    # never disturbs the main conversation's KV prefix.
+    from tiny_llm_tpu.agent.context import model_summarizer
+
+    summarizer_session = GenerationSession(model, tok, max_tokens=512)
     ctx = ContextManager(
         encode=lambda s: len(tok.encode(s)),
         policy=ContextPolicy(),
+        summarize=model_summarizer(summarizer_session),
         session_log=session,
     )
     limits = AgentLimits(max_steps=args.max_steps)

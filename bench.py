@@ -60,7 +60,7 @@ def serving_bench(args) -> None:
     batch_generate(
         model, tok, ["x" * 255, "x" * 1024], max_seq_len=args.max_seq,
         batch_size=args.batch_size, prefill_step=args.prefill_step,
-        max_output_tokens=8,
+        max_output_tokens=max(8, args.decode_burst), decode_burst=args.decode_burst,
     )
 
     from tiny_llm_tpu.serving import ServingMetrics
@@ -77,6 +77,7 @@ def serving_bench(args) -> None:
         model, tok, prompts, max_seq_len=args.max_seq,
         batch_size=args.batch_size, prefill_step=args.prefill_step,
         max_output_tokens=int(outs.mean()), metrics=metrics,
+        decode_burst=args.decode_burst,
     )
     metrics.wall_s = time.perf_counter() - t0
     dt = metrics.wall_s
@@ -116,6 +117,7 @@ def main() -> None:
     p.add_argument("--requests", type=int, default=16)
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--prefill-step", type=int, default=128)
+    p.add_argument("--decode-burst", type=int, default=8)
     args = p.parse_args()
 
     if args.mode == "serving":

@@ -196,6 +196,38 @@ class ContextManager:
         return compacted
 
 
+def model_summarizer(generate) -> Callable[[list[dict]], WorkingSummary]:
+    """Build a summarizer backed by a model generation callable (the
+    reference runs it in a SEPARATE GenerationSession so summarization
+    never disturbs the main conversation's KV prefix; pass such a
+    session's __call__ here). Falls back to the deterministic summary on
+    any parse failure."""
+
+    schema = json.dumps({k: "..." for k in SUMMARY_FIELDS})
+
+    def summarize(messages: list[dict]) -> WorkingSummary:
+        transcript = "\n".join(
+            f"{m['role']}: {m['content'][:400]}" for m in messages
+        )
+        prompt = [
+            {"role": "system",
+             "content": "Summarize the work so far as ONE JSON object with "
+                        f"exactly these fields: {schema}. No other text."},
+            {"role": "user", "content": transcript[-8000:]},
+        ]
+        reply = generate(prompt)
+        if isinstance(reply, tuple):
+            reply = reply[0]
+        try:
+            return WorkingSummary.parse(reply.strip().strip("`"))
+        except Exception:
+            # Structured facts are always derivable from events; never let
+            # a bad model summary lose them (reference context.py:648-662).
+            return deterministic_summary(messages)
+
+    return summarize
+
+
 def deterministic_summary(messages: list[dict]) -> WorkingSummary:
     """Fallback summary built from the event stream without a model
     (reference context.py:589-646): goal = first user message; changed

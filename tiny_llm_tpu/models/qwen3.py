@@ -340,6 +340,39 @@ def forward_step_paged(
     return _lm_head(params, h), kp, vp
 
 
+def forward_decode_burst_dense(
+    params: Qwen3Params,
+    cfg: Qwen3Config,
+    rope_tabs: tuple[jax.Array, jax.Array],
+    tokens0: jax.Array,  # [B] int32
+    offsets0: jax.Array,  # [B] int32
+    keys: jax.Array,  # (donated)
+    values: jax.Array,  # (donated)
+    *,
+    window: int,
+    steps: int,
+    attn_impl: str | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """K greedy decode steps over the dense slab in one dispatch.
+    `window` must cover offsets0 + steps."""
+
+    def body(carry, _):
+        tokens, offsets, ks, vs = carry
+        logits, ks, vs = forward_step(
+            params, cfg, rope_tabs, tokens[:, None], offsets, ks, vs,
+            window=window, logits_to_keep=1, attn_impl=attn_impl,
+        )
+        nxt = jnp.argmax(logits[:, -1, :].astype(jnp.float32), axis=-1).astype(
+            jnp.int32
+        )
+        return (nxt, offsets + 1, ks, vs), nxt
+
+    (_, _, keys, values), toks = jax.lax.scan(
+        body, (tokens0, offsets0, keys, values), length=steps
+    )
+    return toks, keys, values
+
+
 def forward_decode_burst_paged(
     params: Qwen3Params,
     cfg: Qwen3Config,
@@ -448,6 +481,13 @@ class Qwen3Model:
             ),
             static_argnames=("steps",),
             donate_argnames=("key_pages", "value_pages"),
+        )
+        self._dense_burst_jit = jax.jit(
+            functools.partial(
+                forward_decode_burst_dense, cfg=cfg, attn_impl=attn_impl
+            ),
+            static_argnames=("window", "steps"),
+            donate_argnames=("keys", "values"),
         )
         self.page_pool = None
 
@@ -572,6 +612,31 @@ class Qwen3Model:
         else:
             cache.update_tensors(keys, values, int(offsets_np.max(initial=0)) + L)
         return logits
+
+    def decode_burst_dense(
+        self,
+        cache: DenseKVCache,
+        first_tokens: np.ndarray,  # [B] int32
+        steps: int,
+    ) -> np.ndarray:
+        """K greedy steps over a dense cache in one dispatch; one fetch.
+        Returns int32 [steps, B]."""
+        offset = cache.offset
+        assert offset + steps <= cache.max_seq_len
+        window = bucket_for(offset + steps, maximum=cache.max_seq_len)
+        offsets = np.full((cache.batch_size,), offset, np.int32)
+        toks, keys, values = self._dense_burst_jit(
+            self.params,
+            rope_tabs=self._rope_tables,
+            tokens0=jnp.asarray(first_tokens, jnp.int32),
+            offsets0=jnp.asarray(offsets),
+            keys=cache.keys,
+            values=cache.values,
+            window=window,
+            steps=steps,
+        )
+        cache.update_tensors(keys, values, offset + steps)
+        return np.asarray(jax.device_get(toks), np.int32)
 
     def decode_burst(
         self,

@@ -113,6 +113,7 @@ def batch_generate(
     max_output_tokens: int | None = None,
     metrics: ServingMetrics | None = None,
     decode_burst: int = 8,
+    prefill_chunks_per_iter: int | None = None,
 ) -> list[tuple[int, str]]:
     """Serve `prompts` with continuous batching; returns (prompt_idx, text).
 
@@ -122,6 +123,12 @@ def batch_generate(
     """
     del use_paged  # the cache objects carry the paged/dense distinction
     prompts = list(prompts)
+    if prefill_chunks_per_iter is None:
+        # Rate-match admission to burst decode: each iteration retires
+        # ~decode_burst tokens per slot, so prefill must advance several
+        # chunks per iteration or the batch starves (measured: occupancy
+        # fell 3.7 -> 1.5 with bursts and one chunk per iteration).
+        prefill_chunks_per_iter = max(1, decode_burst // 2)
     decode_requests: list[Request | None] = [None] * batch_size
     kv_cache = model.create_batching_kv_cache(
         max_active_requests=batch_size, max_seq_len=max_seq_len
@@ -135,11 +142,14 @@ def batch_generate(
         if not prompts and all(r is None for r in decode_requests) and pending is None:
             break
 
-        if prompts and pending is None:
-            pending = Request(model, tokenizer, prompts.pop(0), prefill_step, next_idx)
-            next_idx += 1
-
-        if pending is not None:
+        for _ in range(prefill_chunks_per_iter):
+            if prompts and pending is None:
+                pending = Request(
+                    model, tokenizer, prompts.pop(0), prefill_step, next_idx
+                )
+                next_idx += 1
+            if pending is None:
+                break
             if not pending.is_prefill_done:
                 pending.try_prefill()
             if pending.is_prefill_done:
@@ -148,18 +158,20 @@ def batch_generate(
                     result.append((pending.prompt_idx, pending.text()))
                     pending.kv_cache.release()
                     pending = None
-                else:
-                    for i in range(batch_size):
-                        if decode_requests[i] is None:
-                            kv_cache.add_request(pending.kv_cache, i)
-                            if not getattr(kv_cache, "owns_added_requests", False):
-                                # Dense batching copies the rows in; the
-                                # source cache can free its slab. Paged
-                                # installation takes ownership instead.
-                                pending.kv_cache.release()
-                            decode_requests[i] = pending
-                            pending = None
-                            break
+                    continue
+                for i in range(batch_size):
+                    if decode_requests[i] is None:
+                        kv_cache.add_request(pending.kv_cache, i)
+                        if not getattr(kv_cache, "owns_added_requests", False):
+                            # Dense batching copies the rows in; the
+                            # source cache can free its slab. Paged
+                            # installation takes ownership instead.
+                            pending.kv_cache.release()
+                        decode_requests[i] = pending
+                        pending = None
+                        break
+                if pending is not None:
+                    break  # prefilled but no free slot: stop prefilling
 
         if any(r is not None for r in decode_requests):
             active = sum(1 for r in decode_requests if r is not None)
