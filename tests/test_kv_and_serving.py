@@ -1,0 +1,146 @@
+"""Dense cache unit semantics, dense-path continuous batching, metrics,
+and generation-loop behaviors (filling out the reference suite's week-2
+/ week-3 day-1 coverage)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tiny_llm_tpu.kv import BatchingKVCache, DenseKVCache
+from tiny_llm_tpu.kv.cache import bucket_for
+from tiny_llm_tpu.models import Qwen3Model, random_params, tiny_test_config
+from tiny_llm_tpu.serving import ServingMetrics, batch_generate
+from tiny_llm_tpu.generate import simple_generate_with_kv_cache
+from tiny_llm_tpu.ops import make_sampler
+from .utils import FakeTokenizer
+
+
+def test_bucket_for():
+    assert bucket_for(1) == 128
+    assert bucket_for(128) == 128
+    assert bucket_for(129) == 256
+    assert bucket_for(1000, maximum=512) == 512
+    assert bucket_for(5, minimum=2) == 8
+
+
+class TestDenseCache:
+    def test_offsets_and_rewind(self):
+        c = DenseKVCache(2, 1, 1, 32, 8)
+        assert c.offset == 0
+        c.update_tensors(c.keys, c.values, 10)
+        assert c.offset == 10
+        c.rewind(4)
+        assert c.offset == 6
+        with pytest.raises(AssertionError):
+            c.rewind(7)
+
+    def test_release_drops_buffers(self):
+        c = DenseKVCache(1, 1, 1, 16, 8)
+        c.release()
+        assert c.keys is None
+
+    def test_batching_slots(self):
+        b = BatchingKVCache(1, 3, 1, 32, 8)
+        src = DenseKVCache(1, 1, 1, 32, 8)
+        src.update_tensors(src.keys, src.values, 5)
+        b.add_request(src, 1)
+        assert b.offsets[1] == 5 and b.active[1]
+        with pytest.raises(ValueError):
+            b.add_request(src, 99)
+        b.remove_request(1)
+        assert not b.active[1]
+        with pytest.raises(ValueError):
+            b.remove_request(1)
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config(num_hidden_layers=2)
+    return Qwen3Model(random_params(cfg, key=0), cfg, max_seq_len=96)
+
+
+def test_dense_path_continuous_batching(model):
+    """The scheduler over the DENSE BatchingKVCache (week-3 day-1 path)
+    must match single-request greedy outputs."""
+    tok = FakeTokenizer()
+    prompts = ["hello world", "abc def", "xyz"]
+    singles = [
+        simple_generate_with_kv_cache(model, tok, p, max_tokens=5)
+        for p in prompts
+    ]
+    metrics = ServingMetrics()
+    results = batch_generate(
+        model, tok, prompts, max_seq_len=48, batch_size=2, prefill_step=8,
+        max_output_tokens=5, metrics=metrics,
+    )
+    assert dict(results) == {i: s for i, s in enumerate(singles)}
+    assert metrics.requests_completed == 3
+    assert metrics.output_tokens == sum(len(tok.encode(s)) for s in singles)
+    assert metrics.prefill_tokens == sum(len(tok.encode(p)) for p in prompts)
+    assert metrics.peak_active_requests <= 2
+
+
+def test_scheduler_eviction_at_max_seq(model):
+    tok = FakeTokenizer()
+    results = batch_generate(
+        model, tok, ["hello"], max_seq_len=10, batch_size=1, prefill_step=8,
+    )
+    # Prompt is 5 tokens; the prefill token doesn't advance the offset, so
+    # eviction at offset >= 10 allows at most 6 outputs.
+    assert len(tok.encode(results[0][1])) <= 6
+
+
+def test_scheduler_handles_more_prompts_than_slots(model):
+    tok = FakeTokenizer()
+    prompts = [f"prompt {i}" for i in range(7)]
+    results = batch_generate(
+        model, tok, prompts, max_seq_len=48, batch_size=2, prefill_step=8,
+        max_output_tokens=3,
+    )
+    assert sorted(r[0] for r in results) == list(range(7))
+
+
+def test_generation_on_token_stream_and_max_tokens(model):
+    tok = FakeTokenizer()
+    seen = []
+    out = simple_generate_with_kv_cache(
+        model, tok, "stream me", max_tokens=4, on_token=seen.append
+    )
+    assert len(tok.encode(out)) <= 4
+    assert seen and seen[-1] == out
+    # streaming callbacks are cumulative prefixes
+    for a, b in zip(seen, seen[1:]):
+        assert b.startswith(a)
+
+
+def test_generation_sampler_reproducible(model):
+    tok = FakeTokenizer()
+    sampler = make_sampler(0.9, top_k=8)
+    a = simple_generate_with_kv_cache(
+        model, tok, "sample", sampler=sampler, max_tokens=5, seed=7
+    )
+    b = simple_generate_with_kv_cache(
+        model, tok, "sample", sampler=sampler, max_tokens=5, seed=7
+    )
+    c = simple_generate_with_kv_cache(
+        model, tok, "sample", sampler=sampler, max_tokens=5, seed=8
+    )
+    assert a == b
+    assert isinstance(c, str)  # different seed may differ; must not crash
+
+
+def test_serving_metrics_dict():
+    m = ServingMetrics()
+    m.observe_step(3)
+    m.observe_step(1)
+    m.requests_completed = 2
+    m.output_tokens = 10
+    m.wall_s = 2.0
+    d = m.as_dict()
+    assert d["mean_batch_occupancy"] == 2.0
+    assert d["output_tok_s"] == 5.0
+    assert d["req_s"] == 1.0
+    # Structural-zero ledger columns are present (and zero).
+    assert d["growth_copy_bytes"] == 0
+    assert d["staging_copy_bytes"] == 0

@@ -173,3 +173,25 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_pipeline_parallel_matches_single_device():
+    """Layer-stage PP across 4 devices must reproduce single-device
+    logits; only the residual stream crosses stages."""
+    from tiny_llm_tpu.parallel.pipeline import PipelinedQwen3, split_stages
+
+    cfg = tp_config()
+    params = random_params(cfg, key=5, quantized=True)
+    single = Qwen3Model(params, cfg, max_seq_len=64, attn_impl="xla")
+    tokens = jnp.asarray([[5, 3, 8, 1, 9]], jnp.int32)
+    base = np.asarray(single.forward_full(tokens), np.float32)
+
+    stages = split_stages(params, 2)
+    assert sum(len(s) for s in stages) == cfg.num_hidden_layers
+    pp = PipelinedQwen3(params, cfg, devices=jax.devices()[:2], num_stages=2)
+    got = np.asarray(pp(tokens), np.float32)
+    assert_allclose(got, base, jnp.bfloat16, atol=5e-2)
+    # Stage params actually live on distinct devices.
+    d0 = next(iter(jax.tree.leaves(pp._stages[0][1]))).devices()
+    d1 = next(iter(jax.tree.leaves(pp._stages[1][1]))).devices()
+    assert d0 != d1
