@@ -22,7 +22,11 @@ BASELINE_CEILING = {2048: 195.3, 8192: 96.7, 32768: 30.3, 65536: 16.1,
                     131072: 7.6}
 
 
-def measure(impl: str, S: int, iters: int = 20) -> float:
+def measure(impl: str, S: int, iters: int = 10, chain: int = 36) -> float:
+    """Chained-dependency methodology: the runtime has a ~1.25 ms floor
+    per loop ITERATION, so each body applies the kernel `chain` times in
+    a serial dependency chain (like the model's layer loop) and the
+    reported figure is per-application."""
     from tiny_llm_tpu.kernels.flash_attention import flash_decode_attention
 
     B, Hq, Hkv, D = 1, 32, 8, 128
@@ -35,14 +39,16 @@ def measure(impl: str, S: int, iters: int = 20) -> float:
     def loop(q0):
         def body(i, carry):
             s, qq = carry
-            o = flash_decode_attention(qq, k, v, lens, impl=impl)
-            return (s + o.astype(jnp.float32).sum(), qq * 1.0000001)
+            for _ in range(chain):
+                o = flash_decode_attention(qq, k, v, lens, impl=impl)
+                qq = (qq + o).astype(jnp.bfloat16)  # serial dependency
+            return (s + o.astype(jnp.float32).sum(), qq)
         return jax.lax.fori_loop(0, iters, body, (jnp.float32(0), q0))
 
     loop(q)[0].block_until_ready()
     t0 = time.perf_counter()
     loop(q)[0].block_until_ready()
-    return (time.perf_counter() - t0) / iters * 1e3  # ms per call
+    return (time.perf_counter() - t0) / (iters * chain) * 1e3  # ms per call
 
 
 def main() -> None:

@@ -24,13 +24,22 @@ HIDDEN, INTER, VOCAB = 2560, 9728, 151936
 HQ, HKV, D = 32, 8, 128
 
 
+CHAIN = 16  # applications per loop body: amortizes the runtime's ~1.25 ms
+# per-iteration floor (serial dependency through the input keeps Mosaic/XLA
+# from CSE-ing the chain away).
+
+
 def _loop(fn, x, iters):
     @jax.jit
     def run(x0):
         def body(i, carry):
             s, xx = carry
-            y = fn(xx)
-            return (s + y.astype(jnp.float32).sum(), xx * 1.0000001)
+            for _ in range(CHAIN):
+                y = fn(xx)
+                # Fold a data-dependent perturbation back into the input.
+                s = s + y.astype(jnp.float32).sum()
+                xx = xx + (s * 1e-20).astype(xx.dtype)
+            return (s, xx)
         return jax.lax.fori_loop(0, iters, body, (jnp.float32(0), x0))
     return run
 
@@ -40,7 +49,7 @@ def _time(fn, x, iters):
     run(x)[0].block_until_ready()
     t0 = time.perf_counter()
     run(x)[0].block_until_ready()
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / (iters * CHAIN)
 
 
 def build_cases(iters):
