@@ -252,7 +252,13 @@ class SessionStore:
         return os.path.join(self.dir, session_id + ".jsonl")
 
     def create(self, meta: dict | None = None) -> SessionLog:
-        session_id = f"{time.strftime('%Y%m%d-%H%M%S')}-{secrets.token_hex(4)}"
+        # The nanosecond field keeps lexicographic order == creation order
+        # even for sessions created within the same wall-clock second, so
+        # latest() resumes the right lineage.
+        session_id = (
+            f"{time.strftime('%Y%m%d-%H%M%S')}-{time.time_ns():019d}"
+            f"-{secrets.token_hex(4)}"
+        )
         tmp = os.path.join(self.dir, f".tmp-{session_id}")
         header = SessionEvent(
             id=0, ts=time.time(), type="session_created",
