@@ -164,3 +164,114 @@ def test_moe_model_end_to_end():
         )
         assert_allclose(step[0, 0], full[0, i], jnp.bfloat16, atol=5e-2,
                         message=f"step {i}")
+
+
+def _stack_quantized(E, N, K, seed=0):
+    from tiny_llm_tpu.ops.quantize import QuantizedTensor
+
+    rng = np.random.default_rng(seed)
+    wf = rng.normal(size=(E * N, K)).astype(np.float32) * 0.1
+    qt = quantize(jnp.asarray(wf))
+    stacked = QuantizedTensor(
+        packed=qt.packed.reshape(E, N, -1),
+        scales=qt.scales.reshape(E, N, -1),
+        biases=qt.biases.reshape(E, N, -1),
+        group_size=qt.group_size,
+        bits=qt.bits,
+        out_features=N,
+        in_features=K,
+        k_padded=qt.k_padded,
+    )
+    w_hat = np.asarray(dequantize(qt, jnp.float32)).reshape(E, N, K)
+    return stacked, w_hat
+
+
+@pytest.mark.parametrize(
+    "sizes",
+    [
+        [7, 0, 20, 3, 9],      # empty group + boundary-splitting tiles
+        [0, 0, 39, 0, 0],      # single active expert
+        [1, 1, 1, 1, 1],       # all tiny groups inside one m-tile
+        [0, 0, 0, 0, 2],       # only the last expert active
+        [40, 0, 0, 0, 24],     # exact m-tile boundaries (bm=32 at T=64)
+    ],
+)
+def test_grouped_quantized_matmul_pallas_interpret(sizes):
+    """The fused ragged Pallas kernel vs the dequantized oracle (interpret
+    mode on CPU; tests/conftest.py pins the cpu backend). Covers empty
+    groups, group boundaries inside an m-tile, and T not a multiple of
+    the tile size."""
+    from tiny_llm_tpu.kernels.moe_matmul import grouped_quantized_matmul
+
+    E, N, K = len(sizes), 96, 256
+    stacked, w_hat = _stack_quantized(E, N, K, seed=4)
+    T = sum(sizes)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(T, K)), jnp.bfloat16)
+    out = np.asarray(
+        grouped_quantized_matmul(x, stacked, jnp.asarray(sizes, jnp.int32),
+                                 interpret=True),
+        np.float32,
+    )
+    r = 0
+    for e, s in enumerate(sizes):
+        if s == 0:
+            continue
+        expected = np.asarray(x[r : r + s], np.float32) @ w_hat[e].T
+        np.testing.assert_allclose(out[r : r + s], expected, rtol=5e-2, atol=8e-2)
+        r += s
+
+
+def test_grouped_quantized_matmul_multiple_n_tiles():
+    """N wide enough to span several n-tiles: the per-n accumulator reuse
+    across revisited m-tiles must stay correct."""
+    from tiny_llm_tpu.kernels.moe_matmul import grouped_quantized_matmul
+
+    sizes = [5, 11, 0, 17]
+    E, N, K = len(sizes), 384, 128
+    stacked, w_hat = _stack_quantized(E, N, K, seed=6)
+    T = sum(sizes)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(T, K)), jnp.bfloat16)
+    out = np.asarray(
+        grouped_quantized_matmul(x, stacked, jnp.asarray(sizes, jnp.int32),
+                                 interpret=True),
+        np.float32,
+    )
+    r = 0
+    for e, s in enumerate(sizes):
+        if s == 0:
+            continue
+        expected = np.asarray(x[r : r + s], np.float32) @ w_hat[e].T
+        np.testing.assert_allclose(out[r : r + s], expected, rtol=5e-2, atol=8e-2)
+        r += s
+
+
+def test_grouped_matmul_impl_dispatch_pallas():
+    """grouped_matmul(impl="pallas") must route stacked QuantizedTensor
+    weights through the fused kernel and agree with the XLA path."""
+    from tiny_llm_tpu.kernels import moe_matmul
+
+    sizes = [3, 0, 9]
+    E, N, K = len(sizes), 64, 128
+    stacked, w_hat = _stack_quantized(E, N, K, seed=8)
+    T = sum(sizes)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(T, K)), jnp.bfloat16)
+    gs = jnp.asarray(sizes, jnp.int32)
+
+    calls = []
+    orig = moe_matmul.grouped_quantized_matmul
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, interpret=True)
+
+    moe_matmul.grouped_quantized_matmul, real = spy, orig
+    try:
+        got = np.asarray(grouped_matmul(x, stacked, gs, impl="pallas"), np.float32)
+    finally:
+        moe_matmul.grouped_quantized_matmul = real
+    assert calls, "pallas impl did not dispatch to the fused kernel"
+    ref = np.asarray(grouped_matmul(x, stacked, gs, use_ragged=False), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=5e-2, atol=8e-2)

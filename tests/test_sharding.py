@@ -195,3 +195,66 @@ def test_pipeline_parallel_matches_single_device():
     d0 = next(iter(jax.tree.leaves(pp._stages[0][1]))).devices()
     d1 = next(iter(jax.tree.leaves(pp._stages[1][1]))).devices()
     assert d0 != d1
+
+
+def test_tp_pallas_attention_dense_matches_single_device():
+    """shard_map'd Pallas flash attention under TP (interpret mode on the
+    CPU mesh): sharded cached decode must match single-device XLA logits.
+    This is the plumbing that lets the single-chip Pallas kernels run
+    under tensor parallelism (GSPMD cannot partition a pallas_call)."""
+    from tiny_llm_tpu.parallel import TPAttention
+
+    cfg = tp_config()
+    params = random_params(cfg, key=6, quantized=False)
+    single = Qwen3Model(params, cfg, max_seq_len=64, attn_impl="xla")
+    ids = [5, 3, 8, 1, 9, 2, 7, 4]
+    tokens = jnp.asarray([ids], jnp.int32)
+    sc = single.create_kv_cache()
+    single(tokens[:, :5], 0, sc)
+    base = np.asarray(single(tokens[:, 5:6], 5, sc, logits_to_keep=1), np.float32)
+
+    mesh = make_mesh(dp=1, tp=8)
+    scfg = ShardingConfig(mesh)
+    attn = TPAttention(scfg, inner="pallas", interpret=True)
+    tp_model = Qwen3Model(shard_params(params, scfg), cfg, max_seq_len=64,
+                          attn_impl=attn)
+    tc = tp_model.create_kv_cache()
+    shard_kv_cache(tc, scfg)
+    tp_model(tokens[:, :5], 0, tc)
+    got = np.asarray(tp_model(tokens[:, 5:6], 5, tc, logits_to_keep=1), np.float32)
+    assert_allclose(got, base, jnp.bfloat16, atol=5e-2)
+
+
+def test_tp_pallas_attention_paged_matches_single_device():
+    """shard_map'd Pallas PAGED attention under TP: page pool sharded on
+    the KV-head axis, block table replicated."""
+    from tiny_llm_tpu.parallel import TPAttention
+    from tiny_llm_tpu.parallel.tp_kernels import paged_pool_spec
+    from jax.sharding import NamedSharding
+
+    cfg = tp_config()
+    params = random_params(cfg, key=7, quantized=False)
+    single = Qwen3Model(params, cfg, max_seq_len=64, attn_impl="xla")
+    single.enable_paged_attention(num_pages=32, page_size=8)
+    ids = [5, 3, 8, 1, 9, 2, 7, 4]
+    tokens = jnp.asarray([ids], jnp.int32)
+    sc = single.create_kv_cache()
+    single(tokens[:, :5], 0, sc)
+    base = np.asarray(single(tokens[:, 5:6], 5, sc, logits_to_keep=1), np.float32)
+
+    mesh = make_mesh(dp=1, tp=8)
+    scfg = ShardingConfig(mesh)
+    attn = TPAttention(scfg, inner="pallas", interpret=True)
+    tp_model = Qwen3Model(shard_params(params, scfg), cfg, max_seq_len=64,
+                          attn_impl=attn)
+    tp_model.enable_paged_attention(num_pages=32, page_size=8)
+    pool = tp_model.page_pool
+    pool_sharding = NamedSharding(mesh, paged_pool_spec(scfg))
+    pool.update_tensors(
+        jax.device_put(pool.key_pages, pool_sharding),
+        jax.device_put(pool.value_pages, pool_sharding),
+    )
+    tc = tp_model.create_kv_cache()
+    tp_model(tokens[:, :5], 0, tc)
+    got = np.asarray(tp_model(tokens[:, 5:6], 5, tc, logits_to_keep=1), np.float32)
+    assert_allclose(got, base, jnp.bfloat16, atol=5e-2)

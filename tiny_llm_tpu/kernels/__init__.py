@@ -19,6 +19,7 @@ import jax
 
 from .dispatch import default_impl, set_default_impl
 from .quant_matmul import quantized_matmul
+from .moe_matmul import grouped_quantized_matmul
 from .flash_attention import flash_attention, flash_decode_attention
 from .paged_attention import paged_attention
 
@@ -26,6 +27,7 @@ __all__ = [
     "default_impl",
     "set_default_impl",
     "quantized_matmul",
+    "grouped_quantized_matmul",
     "flash_attention",
     "flash_decode_attention",
     "paged_attention",

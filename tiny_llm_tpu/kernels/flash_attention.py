@@ -50,6 +50,10 @@ def flash_attention(
     impl: str | None = None,
 ) -> jax.Array:
     """Prefill/general attention over a (possibly right-padded) KV buffer."""
+    if impl is not None and not isinstance(impl, str):
+        # Attention-strategy object (e.g. parallel.tp_kernels.TPAttention):
+        # shard_map'd Pallas under TP, or any custom attention backend.
+        return impl.flash(q, k, v, scale=scale, mask=mask, lens=lens)
     if resolve(impl) == "pallas":
         from .flash_attention_pallas import flash_attention_pallas
 
@@ -78,6 +82,8 @@ def flash_decode_attention(
     (week2_kernels.py:98-147) with the context-length guard removed — the
     TPU kernel streams arbitrarily long contexts.
     """
+    if impl is not None and not isinstance(impl, str):
+        return impl.flash(q, k, v, scale=scale, mask="causal", lens=lens)
     if resolve(impl) == "pallas":
         from .flash_attention_pallas import flash_decode_attention_pallas
 

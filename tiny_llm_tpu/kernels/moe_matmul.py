@@ -1,0 +1,238 @@
+"""Dequant-fused grouped (ragged) W4A16 matmul for MoE expert layers.
+
+TPU-native replacement for the reference's `mx.gather_qmm` sorted-token
+grouped matmul (/root/reference/src/tiny_llm_ref/moe.py:7-33). Tokens
+arrive sorted by expert id with per-expert `group_sizes`; each row block
+must be multiplied by its expert's W4A16 weight without materializing any
+dense [E, N, K] tensor.
+
+Design (megablox-style): the kernel walks "logical tiles" — (m-tile,
+expert) pairs. Metadata is computed in-jit from `group_sizes` and handed
+to the kernel via scalar prefetch (PrefetchScalarGridSpec), so the grid
+stays static: at most `tiles_m + E - 1` logical tiles exist (each interior
+group boundary can split one m-tile in two). An m-tile shared by two
+experts is visited twice with rows masked by group membership, and the
+f32 accumulator scratch — which persists across the sequential TPU grid —
+carries the partial sum between the visits; the output block is written
+once, on the tile's last visit. Dequantization reuses the supergroup
+layout trick from kernels/quant_matmul.py: one shift+mask per quant
+group, no lane shuffles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.quantize import QuantizedTensor
+from .quant_matmul import MAX_RESIDENT_K
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _group_metadata(group_sizes: jax.Array, T: int, bm: int, E: int, tiles_m: int):
+    """Build the logical-tile walk: for each logical tile i, which expert
+    (gids), which m-tile (mtids), and visit flags (bit0 valid, bit1 first
+    visit of the m-tile, bit2 last visit). Static length tiles_m + E - 1."""
+    L = tiles_m + E - 1
+    sizes = group_sizes.astype(jnp.int32)
+    ends = jnp.cumsum(sizes)
+    starts = ends - sizes
+    tile_lo = starts // bm
+    tile_hi = (ends + bm - 1) // bm
+    gtiles = jnp.where(sizes > 0, tile_hi - tile_lo, 0)
+    num_logical = jnp.sum(gtiles)
+
+    idx = jnp.arange(L, dtype=jnp.int32)
+    valid = idx < num_logical
+    gids = jnp.repeat(jnp.arange(E, dtype=jnp.int32), gtiles, total_repeat_length=L)
+    gids = jnp.where(valid, gids, E - 1)
+    excl = jnp.cumsum(gtiles) - gtiles  # exclusive prefix: first logical idx of g
+    pos = idx - excl[gids]
+    mtids = jnp.clip(tile_lo[gids] + pos, 0, tiles_m - 1).astype(jnp.int32)
+
+    mt_prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), mtids[:-1]])
+    first = valid & (mtids != mt_prev)
+    mt_next = jnp.concatenate([mtids[1:], jnp.full((1,), -1, jnp.int32)])
+    valid_next = jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
+    last = valid & ((mtids != mt_next) | ~valid_next)
+    flags = (
+        valid.astype(jnp.int32)
+        | (first.astype(jnp.int32) << 1)
+        | (last.astype(jnp.int32) << 2)
+    )
+    goffs = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends])
+    return gids, mtids, flags, goffs
+
+
+def _gqmm_kernel(
+    gids_ref, mtids_ref, flags_ref, goffs_ref,  # scalar prefetch
+    x_ref, w_ref, s_ref, b_ref,  # inputs
+    out_ref,
+    wtile_ref, acc_ref,  # scratch
+    *, bits: int, group_size: int, bm: int,
+):
+    i = pl.program_id(1)
+    flag = flags_ref[i]
+    vpw = 32 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+    num_sg = w_ref.shape[-1] // group_size
+    sg_vals = vpw * group_size
+
+    @pl.when((flag >> 1) & 1 == 1)  # first visit of this m-tile
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(flag & 1 == 1)  # valid logical tile
+    def _():
+        g = gids_ref[i]
+        row0 = mtids_ref[i] * bm
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
+        rmask = (rows >= goffs_ref[g]) & (rows < goffs_ref[g + 1])
+        x = jnp.where(rmask, x_ref[:], jnp.zeros_like(x_ref))
+        for sg in range(num_sg):
+            words = w_ref[0, :, sg * group_size : (sg + 1) * group_size]
+            for j in range(vpw):
+                q = ((words >> (bits * j)) & mask).astype(jnp.int32).astype(jnp.bfloat16)
+                gq = sg * vpw + j
+                s = s_ref[0, :, gq : gq + 1].astype(jnp.bfloat16)
+                b = b_ref[0, :, gq : gq + 1].astype(jnp.bfloat16)
+                wtile_ref[:, j * group_size : (j + 1) * group_size] = q * s + b
+            x_sg = x[:, sg * sg_vals : (sg + 1) * sg_vals]
+            acc_ref[:] += jax.lax.dot_general(
+                x_sg,
+                wtile_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when((flag >> 2) & 1 == 1)  # last visit: flush the accumulator
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _gqmm_block_sizes(T: int, N: int, K: int):
+    if T <= 16:
+        bm = 16
+    elif T <= 64:
+        bm = 32
+    else:
+        bm = 128
+    # VMEM budget per unit of BN (mirrors quant_matmul._block_sizes):
+    # double-buffered packed words + dequant staging + shift temporaries.
+    words = K // 8
+    per_bn = words * 8 + 1024 * 2 + 4096 + bm * 4
+    budget = 9 * 1024 * 1024
+    bn = 256
+    while bn * 2 * per_bn <= budget and bn * 2 <= N:
+        bn *= 2
+    return bm, min(bn, N)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "bits", "interpret")
+)
+def _gqmm_pallas(
+    x_pad: jax.Array,  # [T, k_padded] bf16, rows sorted by expert
+    packed: jax.Array,  # [E, N, k_padded // vpw] uint32
+    scales: jax.Array,  # [E, N, G]
+    biases: jax.Array,
+    group_sizes: jax.Array,  # [E] int32
+    group_size: int,
+    bits: int,
+    interpret: bool = False,
+) -> jax.Array:
+    T, K = x_pad.shape
+    E, N, _ = packed.shape
+    G = scales.shape[-1]
+    vpw = 32 // bits
+    sg_vals = vpw * group_size
+    bm, bn = _gqmm_block_sizes(T, N, K)
+    tiles_m = _cdiv(T, bm)
+    tiles_n = _cdiv(N, bn)
+    gids, mtids, flags, goffs = _group_metadata(group_sizes, T, bm, E, tiles_m)
+    # Dynamic grid: only the true number of logical tiles is walked —
+    # with sparse routing (few non-empty experts) this skips most of the
+    # static worst-case tiles_m + E - 1 bound.
+    num_logical = jnp.sum(
+        jnp.where(
+            group_sizes > 0,
+            (jnp.cumsum(group_sizes) + bm - 1) // bm
+            - (jnp.cumsum(group_sizes) - group_sizes) // bm,
+            0,
+        )
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        # i (logical tile) innermost so same-m-tile visits are consecutive
+        # and the accumulator/output block stays VMEM-resident between them.
+        grid=(tiles_n, num_logical),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda n, i, gids, mtids, flags, goffs: (mtids[i], 0)),
+            pl.BlockSpec(
+                (1, bn, K // vpw),
+                lambda n, i, gids, mtids, flags, goffs: (gids[i], n, 0),
+            ),
+            pl.BlockSpec(
+                (1, bn, G), lambda n, i, gids, mtids, flags, goffs: (gids[i], n, 0)
+            ),
+            pl.BlockSpec(
+                (1, bn, G), lambda n, i, gids, mtids, flags, goffs: (gids[i], n, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda n, i, gids, mtids, flags, goffs: (mtids[i], n)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bn, sg_vals), jnp.bfloat16),
+            pltpu.VMEM((bm, bn), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _gqmm_kernel, bits=bits, group_size=group_size, bm=bm
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, N), x_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * N * K,
+            bytes_accessed=T * K * 2 + packed.size * 4 + scales.size * 4 + T * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(gids, mtids, flags, goffs, x_pad, packed, scales, biases)
+
+
+def grouped_quantized_matmul(
+    grouped_x: jax.Array,  # [T, K] — rows sorted by expert id
+    qt: QuantizedTensor,  # stacked experts, packed [E, N, K/vpw]
+    group_sizes: jax.Array,  # [E] int32, sums to T
+    interpret: bool = False,
+) -> jax.Array:
+    """out[t] = grouped_x[t] @ dequant(qt[expert_of_row_t]).T, fused."""
+    assert qt.packed.ndim == 3, "expects stacked expert weights [E, N, K/vpw]"
+    assert grouped_x.shape[-1] == qt.in_features
+    assert qt.k_padded <= MAX_RESIDENT_K
+    T, K = grouped_x.shape
+    x2 = grouped_x.astype(jnp.bfloat16)
+    if qt.k_padded != K:
+        x2 = jnp.pad(x2, ((0, 0), (0, qt.k_padded - K)))
+    out = _gqmm_pallas(
+        x2,
+        qt.packed,
+        qt.scales,
+        qt.biases,
+        group_sizes,
+        group_size=qt.group_size,
+        bits=qt.bits,
+        interpret=interpret,
+    )
+    return out.astype(grouped_x.dtype)

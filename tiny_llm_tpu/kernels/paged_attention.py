@@ -60,6 +60,12 @@ def paged_attention(
     context_lens counts them.
     """
     B, Hq, L, D = q.shape
+    if impl is not None and not isinstance(impl, str):
+        # Attention-strategy object (e.g. parallel.tp_kernels.TPAttention).
+        return impl.paged(
+            q, key_pages, value_pages, block_table, context_lens,
+            scale=scale, mask=mask,
+        )
     if resolve(impl) == "pallas":
         from .paged_attention_pallas import paged_attention_pallas
 

@@ -64,8 +64,16 @@ def grouped_matmul(
     w_stacked,  # QuantizedTensor [E, N, K] or array [E, N, K]
     group_sizes: jax.Array,  # [E] int32, sums to T
     use_ragged: bool | None = None,
+    impl: str | None = None,
 ) -> jax.Array:
     """Per-group matmul: rows of group e hit expert e's weight. -> [T, N]."""
+    if isinstance(w_stacked, QuantizedTensor) and w_stacked.packed.ndim == 3:
+        from ..kernels.dispatch import resolve
+        from ..kernels.moe_matmul import grouped_quantized_matmul
+        from ..kernels.quant_matmul import MAX_RESIDENT_K
+
+        if resolve(impl) == "pallas" and w_stacked.k_padded <= MAX_RESIDENT_K:
+            return grouped_quantized_matmul(grouped_x, w_stacked, group_sizes)
     dtype = grouped_x.dtype
     w = _dense_weight(w_stacked, dtype)  # [E, N, K]
     if use_ragged is None:
@@ -95,6 +103,7 @@ def grouped_expert_linear(
     w_experts,  # stacked [E, N, K]
     expert_ids: jax.Array,  # [...] int32 — one expert id per row of x
     use_ragged: bool | None = None,
+    impl: str | None = None,
 ) -> jax.Array:
     """Reference-parity wrapper (moe.py:7-33): sort rows by expert id, run
     the grouped matmul, inverse-permute the results."""
@@ -105,7 +114,9 @@ def grouped_expert_linear(
     sort_idx = jnp.argsort(flat_ids, stable=True)
     grouped_x = jnp.take(flat_x, sort_idx, axis=0)
     group_sizes = jnp.bincount(flat_ids, length=E)
-    out = grouped_matmul(grouped_x, w_experts, group_sizes, use_ragged=use_ragged)
+    out = grouped_matmul(
+        grouped_x, w_experts, group_sizes, use_ragged=use_ragged, impl=impl
+    )
     inv = jnp.argsort(sort_idx)
     out = jnp.take(out, inv, axis=0)
     N = out.shape[-1]
@@ -121,6 +132,7 @@ def moe_forward(
     num_experts_per_tok: int,
     norm_topk_prob: bool = False,
     use_ragged: bool | None = None,
+    impl: str | None = None,
 ) -> jax.Array:
     """Full sparse MLP (reference Moe.__call__, moe.py:68-89)."""
     B, L, D = x.shape
@@ -131,8 +143,8 @@ def moe_forward(
     expanded_x = jnp.broadcast_to(x[:, :, None, :], (B, L, k, D)).reshape(-1, D)
     flat_ids = expert_ids.reshape(-1)
 
-    gate = grouped_expert_linear(expanded_x, w_gate, flat_ids, use_ragged)
-    up = grouped_expert_linear(expanded_x, w_up, flat_ids, use_ragged)
-    down = grouped_expert_linear(silu(gate) * up, w_down, flat_ids, use_ragged)
+    gate = grouped_expert_linear(expanded_x, w_gate, flat_ids, use_ragged, impl)
+    up = grouped_expert_linear(expanded_x, w_up, flat_ids, use_ragged, impl)
+    down = grouped_expert_linear(silu(gate) * up, w_down, flat_ids, use_ragged, impl)
     out = down.reshape(B, L, k, D) * expert_scores[..., None].astype(x.dtype)
     return jnp.sum(out, axis=-2).astype(x.dtype)

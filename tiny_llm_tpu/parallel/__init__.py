@@ -5,6 +5,7 @@ from .sharding import (
     shard_kv_cache,
     shard_params,
 )
+from .tp_kernels import TPAttention, paged_pool_spec
 
 __all__ = [
     "make_mesh",
@@ -12,4 +13,6 @@ __all__ = [
     "param_shardings",
     "shard_kv_cache",
     "shard_params",
+    "TPAttention",
+    "paged_pool_spec",
 ]
