@@ -258,3 +258,31 @@ def test_tp_pallas_attention_paged_matches_single_device():
     tp_model(tokens[:, :5], 0, tc)
     got = np.asarray(tp_model(tokens[:, 5:6], 5, tc, logits_to_keep=1), np.float32)
     assert_allclose(got, base, jnp.bfloat16, atol=5e-2)
+
+
+@pytest.mark.parametrize("quantized", [False, True], ids=["dense", "quant"])
+@pytest.mark.parametrize("stages,microbatches", [(4, 4), (2, 4)])
+def test_microbatched_pipeline_matches_single_device(quantized, stages, microbatches):
+    """GPipe-scheduled PP (shard_map + ppermute rotation): logits must
+    match the single-device forward for every (S, M) schedule shape."""
+    from tiny_llm_tpu.parallel.pipeline import MicrobatchedPipeline
+
+    cfg = Qwen3Config(
+        num_hidden_layers=4, hidden_size=256, num_attention_heads=8,
+        num_key_value_heads=8, head_dim=64, intermediate_size=512,
+        vocab_size=512, rope_theta=10000.0, max_position_embeddings=128,
+    )
+    params = random_params(cfg, key=8, quantized=quantized)
+    single = Qwen3Model(params, cfg, max_seq_len=128, attn_impl="xla")
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, 512, size=(8, 6)), jnp.int32
+    )
+    base = np.asarray(single.forward_full(tokens), np.float32)
+    pp = MicrobatchedPipeline(
+        params, cfg, num_stages=stages, num_microbatches=microbatches
+    )
+    got = np.asarray(pp(tokens), np.float32)
+    assert_allclose(got, base, jnp.bfloat16, atol=5e-2)
+    # Stage params are actually sharded over the pp mesh axis.
+    leaf = jax.tree.leaves(pp._layers)[0]
+    assert len(leaf.sharding.device_set) == stages

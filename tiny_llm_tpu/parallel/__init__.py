@@ -6,8 +6,12 @@ from .sharding import (
     shard_params,
 )
 from .tp_kernels import TPAttention, paged_pool_spec
+from .pipeline import MicrobatchedPipeline, PipelinedQwen3, split_stages
 
 __all__ = [
+    "MicrobatchedPipeline",
+    "PipelinedQwen3",
+    "split_stages",
     "make_mesh",
     "ShardingConfig",
     "param_shardings",
