@@ -1,4 +1,12 @@
 from .mesh import make_mesh
+from .distributed import (
+    barrier,
+    host_local_requests,
+    initialize,
+    make_multihost_mesh,
+    runtime_topology,
+)
+from .overlap import allgather_matmul, matmul_reducescatter, overlapped_tp_matmuls
 from .sharding import (
     ShardingConfig,
     param_shardings,
@@ -9,6 +17,14 @@ from .tp_kernels import TPAttention, paged_pool_spec
 from .pipeline import MicrobatchedPipeline, PipelinedQwen3, split_stages
 
 __all__ = [
+    "allgather_matmul",
+    "barrier",
+    "host_local_requests",
+    "initialize",
+    "make_multihost_mesh",
+    "matmul_reducescatter",
+    "overlapped_tp_matmuls",
+    "runtime_topology",
     "MicrobatchedPipeline",
     "PipelinedQwen3",
     "split_stages",
