@@ -24,6 +24,7 @@ MODULES = [
     "tiny_llm_tpu.serving",
     "tiny_llm_tpu.parallel",
     "tiny_llm_tpu.generate",
+    "tiny_llm_tpu.speculative",
     "tiny_llm_tpu.agent",
 ]
 

@@ -11,4 +11,4 @@ __version__ = "0.1.0"
 
 from . import ops  # noqa: F401
 
-__all__ = ["ops"]
+__all__ = ["ops", "speculative"]
