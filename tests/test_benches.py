@@ -1,0 +1,92 @@
+"""Bench-harness self-tests (parity: the reference's benches/test_*.py
+keep its benchmark harnesses importable and correct, SURVEY.md §2.7).
+
+Every bench module must import cleanly (no TPU required at import time),
+and the pure helpers — expert stacking, case construction, chained-loop
+builders — must produce correct shapes/values on CPU.
+"""
+
+import importlib.util
+import pathlib
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+BENCH_MODULES = [
+    "bench_operators",
+    "bench_long_context_attention",
+    "bench_moe_gqmm",
+    "bench_progression",
+    "bench_speculative",
+    "profile_operators",
+    "probe_qmm_stages",
+    "capture_profile",
+]
+
+
+def load(name: str):
+    spec = importlib.util.spec_from_file_location(name, REPO / "benches" / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("name", BENCH_MODULES)
+def test_bench_module_imports(name):
+    mod = load(name)
+    assert hasattr(mod, "main")
+
+
+def test_moe_bench_expert_stack_roundtrips():
+    mod = load("bench_moe_gqmm")
+    from tiny_llm_tpu.ops.quantize import dequantize
+
+    E, N, K = 4, 16, 256
+    qt = mod.stack_experts(E, N, K, seed=3)
+    assert qt.packed.shape[0] == E and qt.out_features == N
+    # Stacked-expert quantization must equal per-expert quantization of
+    # the same rows: dequantize and check finite, right shape.
+    w = dequantize(qt, jnp.float32)
+    assert w.shape == (E, N, K)
+    assert bool(jnp.all(jnp.isfinite(w)))
+
+
+def test_moe_bench_xla_oracle_matches_kernel_inputs():
+    mod = load("bench_moe_gqmm")
+    E, N, K, T = 4, 16, 256, 8
+    qt = mod.stack_experts(E, N, K, seed=0)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(T, K)), jnp.bfloat16)
+    sizes = jnp.asarray([3, 2, 2, 1], jnp.int32)
+    out = mod.xla_grouped(x, qt, sizes)
+    assert out.shape == (T, N)
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_operator_bench_cases_build_and_time():
+    mod = load("bench_operators")
+    cases = mod.build_cases(iters=2)
+    assert len(cases) >= 3
+    # cases: name -> impl -> (thunk, input). The XLA thunks must run on
+    # CPU (compiled Pallas thunks are TPU-only; the kernel suites cover
+    # them in interpret mode).
+    for name, impls in list(cases.items())[:2]:
+        fn, x = impls["xla"]
+        out = fn(x)
+        assert bool(jnp.all(jnp.isfinite(jnp.asarray(out, jnp.float32))))
+
+
+def test_speculative_bench_baseline_runs_tiny():
+    mod = load("bench_speculative")
+    from tiny_llm_tpu.models import random_params, tiny_test_config
+    from tiny_llm_tpu.speculative import SpecModel
+
+    cfg = tiny_test_config(num_hidden_layers=2)
+    target = SpecModel.build(random_params(cfg, key=0), cfg, 128)
+    tok_s = mod.bench_baseline(target, [3, 5, 7], max_tokens=8, burst=4, max_seq=128)
+    assert tok_s > 0
