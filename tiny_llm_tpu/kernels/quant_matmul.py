@@ -103,6 +103,23 @@ def _block_sizes(M: int, N: int, K: int):
     while bn * 2 * per_bn <= budget and bn * 2 <= N:
         bn *= 2
     bn = min(bn, N)
+
+    # Total scoped-VMEM check including the x-block double buffer, which
+    # the per-BN heuristic above ignores — at prefill shapes (bm=256,
+    # K~10K) x alone is 10+ MB and Mosaic's 16 MB limit trips. Shrink bm
+    # first (prefill stays MXU-efficient at 128), then bn.
+    def fits(bm, bn):
+        x = 2 * bm * K * 2
+        w = 2 * (bn * words * 4 + 2 * bn * (K // 128) * 2)
+        stage = bn * 1024 * 2
+        acc = bm * bn * 4
+        out = 2 * bm * bn * 2
+        return x + w + stage + acc + out + (1 << 20) <= 14 * 1024 * 1024
+
+    while not fits(bm, bn) and bm > 8:
+        bm //= 2
+    while not fits(bm, bn) and bn > 128:
+        bn //= 2
     return bm, bn
 
 
