@@ -31,7 +31,9 @@ def stack_experts(E, N, K, seed=0):
     w = jnp.asarray(
         rng.normal(size=(E * N, K)).astype(np.float32) * 0.1, jnp.float32
     )
-    q = jax.jit(quantize, static_argnames=("group_size", "bits"))(w)
+    q = jax.jit(
+        quantize, static_argnames=("group_size", "bits", "layout")
+    )(w, layout="sg")
     return QuantizedTensor(
         packed=q.packed.reshape(E, N, -1),
         scales=q.scales.reshape(E, N, -1),

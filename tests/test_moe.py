@@ -83,7 +83,7 @@ def test_grouped_matmul_quantized_experts():
     E, N, K, T = 3, 32, 256, 12
     rng = np.random.default_rng(2)
     wf = rng.normal(size=(E, N, K)).astype(np.float32) * 0.1
-    qt = quantize(jnp.asarray(wf.reshape(E * N, K)))
+    qt = quantize(jnp.asarray(wf.reshape(E * N, K)), layout="sg")
     from tiny_llm_tpu.ops.quantize import QuantizedTensor
 
     stacked = QuantizedTensor(
@@ -171,7 +171,7 @@ def _stack_quantized(E, N, K, seed=0):
 
     rng = np.random.default_rng(seed)
     wf = rng.normal(size=(E * N, K)).astype(np.float32) * 0.1
-    qt = quantize(jnp.asarray(wf))
+    qt = quantize(jnp.asarray(wf), layout="sg")
     stacked = QuantizedTensor(
         packed=qt.packed.reshape(E, N, -1),
         scales=qt.scales.reshape(E, N, -1),

@@ -62,10 +62,12 @@ def test_tp_sharding_specs_cover_params():
     params = random_params(cfg, key=0, quantized=True)
     specs = param_shardings(params, ShardingConfig(make_mesh(dp=1, tp=8)))
     layer = specs.layers[0]
-    assert layer.attn.wq.packed == P("tp", None)
-    assert layer.attn.wo.packed == P(None, "tp")
-    assert layer.mlp.w_gate.packed == P("tp", None)
-    assert layer.mlp.w_down.packed == P(None, "tp")
+    # magic_t stores weights transposed ([K*, N]): logical N-sharding lands
+    # on the second (lane) axis, K-sharding on the first.
+    assert layer.attn.wq.packed == P(None, "tp")
+    assert layer.attn.wo.packed == P("tp", None)
+    assert layer.mlp.w_gate.packed == P(None, "tp")
+    assert layer.mlp.w_down.packed == P("tp", None)
     assert layer.input_layernorm == P(None)
 
 

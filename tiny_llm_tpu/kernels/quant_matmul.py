@@ -123,6 +123,115 @@ def _block_sizes(M: int, N: int, K: int):
     return bm, bn
 
 
+def _magic_kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref, *, group_size):
+    """acc[bm, bn] += x[bm, K] @ magic-dequant(w[K/8, bn]) — transposed layout.
+
+    Per supergroup (8 groups, 1024 values): 4 magic extractions
+    `(words >> 4j) & 0x000F000F | 0x43004300`, each pltpu.bitcast to bf16
+    values (128 + q) on adjacent sublanes in logical-k order (see
+    ops/quantize.py pack_magic_t). Scale/bias fold per group AFTER the
+    MXU dot: w = (128+q)*s + (b - 128*s), so
+    y += d*s + (sum x_g)*(b - 128*s), with d = x_g @ (128+q).
+    The rhs arrives in native [K, N] orientation — no transpose — and the
+    VPU does ~3 ops per 8 values, leaving the kernel HBM-bound
+    (cf. the reference's matvec_x4_fast pre-scaled-activation trick,
+    quantized_matmul.metal:441-538, which solves the same problem on Metal).
+    """
+    gs = group_size
+    half = gs // 2  # 64 word rows per magic supergroup (512 values)
+    num_sg = w_ref.shape[0] // half
+    mask = jnp.uint32(0x000F000F)
+    magic = jnp.uint32(0x43004300)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for sg in range(num_sg):
+        words = w_ref[sg * half : (sg + 1) * half, :]
+        for j in range(4):
+            g = sg * 4 + j  # nibble-pair plane j IS quant group g
+            t = ((words >> (4 * j)) & mask) | magic
+            v = pltpu.bitcast(t, jnp.bfloat16)  # [gs, bn] = 128 + q
+            xg = x_ref[:, g * gs : (g + 1) * gs]
+            d = jax.lax.dot_general(
+                xg,
+                v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            s = s_ref[g : g + 1, :]
+            c = b_ref[g : g + 1, :] - 128.0 * s
+            acc_ref[:] += d * s + xs * c
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _magic_block_sizes(M: int, N: int, Kp: int) -> tuple[int, int]:
+    """(bm, bn) under the ~13 MB scoped-VMEM budget (double-buffered w/x)."""
+    if M <= 8:
+        bm = 8
+    elif M <= 32:
+        bm = 32
+    elif M <= 128:
+        bm = 128
+    else:
+        bm = 256
+    words, G = Kp // 8, Kp // 128
+
+    def fits(bm: int, bn: int) -> bool:
+        w = 2 * (words * bn * 4 + 2 * G * bn * 4)
+        xb = 2 * bm * Kp * 2
+        acc = bm * bn * 4
+        out = 2 * bm * bn * 2
+        return w + xb + acc + out + (1 << 20) <= 13 * 1024 * 1024
+
+    # Measured on v5e across the Qwen3-4B shapes: ~8 grid steps is the
+    # sweet spot (enough double-buffer overlap, low per-step overhead), so
+    # bn ~= N/8 clamped to [256, 1024].
+    bn = min(1024, max(256, 256 * -(-(N // 8) // 256)))
+    while not fits(bm, bn) and bn > 256:
+        bn //= 2
+    while not fits(bm, bn) and bm > 8:
+        bm //= 2
+    return bm, min(bn, max(256, N))
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "bits", "interpret"))
+def _qmm_magic_pallas(
+    x_pad: jax.Array,  # [M, k_padded] bf16
+    packed_t: jax.Array,  # [k_padded // 8, N] uint32 (magic_t layout)
+    scales_t: jax.Array,  # [G, N] f32
+    biases_t: jax.Array,  # [G, N] f32
+    group_size: int,
+    bits: int,
+    interpret: bool = False,
+) -> jax.Array:
+    assert bits == 4
+    M, Kp = x_pad.shape
+    N = packed_t.shape[1]
+    G = scales_t.shape[0]
+    bm, bn = _magic_block_sizes(M, N, Kp)
+    grid = (pl.cdiv(N, bn), pl.cdiv(M, bm))  # n outer: w block reused over m
+    kernel = functools.partial(_magic_kernel, group_size=group_size)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, Kp), lambda n, m: (m, 0)),
+            pl.BlockSpec((Kp // 8, bn), lambda n, m: (0, n)),
+            pl.BlockSpec((G, bn), lambda n, m: (0, n)),
+            pl.BlockSpec((G, bn), lambda n, m: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda n, m: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((M, N), x_pad.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * Kp,
+            bytes_accessed=M * Kp * 2 + packed_t.size * 4 + scales_t.size * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_pad, packed_t, scales_t, biases_t)
+
+
 @functools.partial(
     jax.jit, static_argnames=("group_size", "bits", "interpret")
 )
@@ -187,15 +296,26 @@ def quantized_matmul(
     x2 = x.reshape(-1, K).astype(jnp.bfloat16)
     if qt.k_padded != K:
         x2 = jnp.pad(x2, ((0, 0), (0, qt.k_padded - K)))
-    out = _qmm_pallas(
-        x2,
-        qt.packed,
-        qt.scales,
-        qt.biases,
-        group_size=qt.group_size,
-        bits=qt.bits,
-        interpret=interpret,
-    )
+    if qt.layout == "magic_t":
+        out = _qmm_magic_pallas(
+            x2,
+            qt.packed,
+            qt.scales,
+            qt.biases,
+            group_size=qt.group_size,
+            bits=qt.bits,
+            interpret=interpret,
+        )
+    else:
+        out = _qmm_pallas(
+            x2,
+            qt.packed,
+            qt.scales,
+            qt.biases,
+            group_size=qt.group_size,
+            bits=qt.bits,
+            interpret=interpret,
+        )
     if bias is not None:
         out = (out.astype(jnp.float32) + bias.astype(jnp.float32)).astype(out.dtype)
     return out.reshape(*lead, qt.out_features).astype(x.dtype)

@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.quantize import QuantizedTensor, from_mlx_packing, quantize
+from ..ops.quantize import (
+    QuantizedTensor,
+    convert_layout,
+    from_mlx_packing,
+    quantize,
+)
 from .qwen3 import (
     AttentionParams,
     BlockParams,
@@ -30,14 +35,21 @@ from .qwen3 import (
 )
 
 
-def _maybe_quantize(w: jax.Array, quantized: bool, group_size: int, bits: int):
+def _maybe_quantize(
+    w: jax.Array,
+    quantized: bool,
+    group_size: int,
+    bits: int,
+    layout: str | None = None,
+):
     if not quantized:
         return w.astype(jnp.bfloat16)
     if w.ndim == 2:
-        return quantize(w, group_size=group_size, bits=bits)
+        return quantize(w, group_size=group_size, bits=bits, layout=layout)
     # Stacked expert weights [E, N, K]: quantize as (E*N, K) and restack.
+    # The ragged MoE kernel consumes the "sg" layout (kernels/moe_matmul.py).
     E, N, K = w.shape
-    qt = quantize(w.reshape(E * N, K), group_size=group_size, bits=bits)
+    qt = quantize(w.reshape(E * N, K), group_size=group_size, bits=bits, layout="sg")
     return QuantizedTensor(
         packed=qt.packed.reshape(E, N, -1),
         scales=qt.scales.reshape(E, N, -1),
@@ -107,13 +119,24 @@ def random_params(
                 mlp=mlp,
             )
         )
+    embedding = _maybe_quantize(
+        rand((cfg.vocab_size, D)), quantized, group_size, bits, layout="sg"
+    )
+    if cfg.tie_word_embeddings:
+        # Tied head: keep a magic_t copy so the hot LM-head matvec uses the
+        # transposed kernel while the embedding keeps fast row gathers.
+        lm_head = (
+            convert_layout(embedding, "magic_t")
+            if isinstance(embedding, QuantizedTensor) and bits == 4
+            else None
+        )
+    else:
+        lm_head = lin(cfg.vocab_size, D)
     return Qwen3Params(
-        embedding=_maybe_quantize(rand((cfg.vocab_size, D)), quantized, group_size, bits),
+        embedding=embedding,
         layers=tuple(layers),
         final_norm=jnp.ones((D,), jnp.bfloat16),
-        lm_head=None
-        if cfg.tie_word_embeddings
-        else lin(cfg.vocab_size, D),
+        lm_head=lm_head,
     )
 
 
@@ -137,15 +160,32 @@ def synthetic_quantized_params(
     sg = supergroup_values(group_size, bits)
     vpw = 32 // bits
 
-    def qlin(*shape):
+    def qlin(*shape, layout: str | None = None):
         *lead, N, K = shape
-        k_padded = ((K + sg - 1) // sg) * sg
-        packed = jax.random.bits(nxt(), (*lead, N, k_padded // vpw), dtype=jnp.uint32)
-        scales = (
-            jax.random.uniform(nxt(), (*lead, N, k_padded // group_size)) * 0.004
-            + 0.001
-        ).astype(jnp.bfloat16)
-        biases = (-7.5 * scales).astype(jnp.bfloat16)
+        if layout is None:
+            layout = (
+                "magic_t" if (not lead and bits == 4 and group_size == 128) else "sg"
+            )
+        from ..ops.quantize import MAGIC_SUPERGROUP
+
+        pad_to = MAGIC_SUPERGROUP if layout == "magic_t" else sg
+        k_padded = ((K + pad_to - 1) // pad_to) * pad_to
+        if layout == "magic_t":
+            packed = jax.random.bits(nxt(), (k_padded // vpw, N), dtype=jnp.uint32)
+            scales = (
+                jax.random.uniform(nxt(), (k_padded // group_size, N)) * 0.004
+                + 0.001
+            ).astype(jnp.float32)
+            biases = -7.5 * scales
+        else:
+            packed = jax.random.bits(
+                nxt(), (*lead, N, k_padded // vpw), dtype=jnp.uint32
+            )
+            scales = (
+                jax.random.uniform(nxt(), (*lead, N, k_padded // group_size)) * 0.004
+                + 0.001
+            ).astype(jnp.bfloat16)
+            biases = (-7.5 * scales).astype(jnp.bfloat16)
         return QuantizedTensor(
             packed=packed,
             scales=scales,
@@ -155,6 +195,7 @@ def synthetic_quantized_params(
             out_features=N,
             in_features=K,
             k_padded=k_padded,
+            layout=layout,
         )
 
     D, Dh = cfg.hidden_size, cfg.head_dim
@@ -190,11 +231,20 @@ def synthetic_quantized_params(
                 mlp=mlp,
             )
         )
+    embedding = qlin(cfg.vocab_size, D, layout="sg")
+    if cfg.tie_word_embeddings:
+        lm_head = (
+            convert_layout(embedding, "magic_t")
+            if bits == 4 and group_size == 128
+            else None
+        )
+    else:
+        lm_head = qlin(cfg.vocab_size, D)
     return Qwen3Params(
-        embedding=qlin(cfg.vocab_size, D),
+        embedding=embedding,
         layers=tuple(layers),
         final_norm=jnp.ones((D,), jnp.bfloat16),
-        lm_head=None if cfg.tie_word_embeddings else qlin(cfg.vocab_size, D),
+        lm_head=lm_head,
     )
 
 
@@ -254,7 +304,7 @@ def load_params(
     cfg = cfg or load_config(model_dir)
     t = _load_safetensors(model_dir)
 
-    def get_linear(prefix: str):
+    def get_linear(prefix: str, layout: str | None = None):
         w_key = f"{prefix}.weight"
         if f"{prefix}.scales" in t:
             # MLX 4-bit export: uint32 weight + scales + biases.
@@ -264,9 +314,10 @@ def load_params(
                 jnp.asarray(t[f"{prefix}.biases"]),
                 group_size,
                 bits,
+                layout=layout,
             )
         w = jnp.asarray(np.asarray(t[w_key]).astype(np.float32))
-        return _maybe_quantize(w, quantized, group_size, bits)
+        return _maybe_quantize(w, quantized, group_size, bits, layout=layout)
 
     def get_array(name: str) -> jax.Array:
         return jnp.asarray(np.asarray(t[name]).astype(np.float32)).astype(jnp.bfloat16)
@@ -301,10 +352,21 @@ def load_params(
                 mlp=mlp,
             )
         )
+    embedding = get_linear("model.embed_tokens", layout="sg")
+    if cfg.tie_word_embeddings:
+        lm_head = (
+            convert_layout(embedding, "magic_t")
+            if isinstance(embedding, QuantizedTensor)
+            and embedding.bits == 4
+            and embedding.group_size == 128
+            else None
+        )
+    else:
+        lm_head = get_linear("lm_head")
     params = Qwen3Params(
-        embedding=get_linear("model.embed_tokens"),
+        embedding=embedding,
         layers=tuple(layers),
         final_norm=get_array("model.norm.weight"),
-        lm_head=None if cfg.tie_word_embeddings else get_linear("lm_head"),
+        lm_head=lm_head,
     )
     return params, cfg

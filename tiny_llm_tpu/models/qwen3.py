@@ -420,15 +420,22 @@ def _scatter_rows(
     offsets: jax.Array,  # [B]
     chunk: jax.Array,  # [B, H, L, D]
 ) -> jax.Array:
-    """Write chunk rows into buf[layer, b, :, offsets[b]:offsets[b]+L, :]."""
-    B, H, L, D = chunk.shape
-    # Scatter via per-row dynamic_update_slice under vmap on the batch axis.
-    def write_row(row_buf, off, row_chunk):
-        # row_buf: [H, S_max, D], row_chunk: [H, L, D]
-        return jax.lax.dynamic_update_slice(row_buf, row_chunk, (0, off, 0))
+    """Write chunk rows into buf[layer, b, :, offsets[b]:offsets[b]+L, :].
 
-    updated = jax.vmap(write_row)(buf[layer], offsets, chunk)
-    return buf.at[layer].set(updated)
+    A Python loop of scalar-offset dynamic_update_slices on the full 5-D
+    slab: each compiles to an in-place write of just the [H, L, D] slice.
+    (A vmapped DUS lowers to a scatter that XLA materializes as a loop
+    fusion rewriting the whole 8 MB layer slab — measured at ~0.8 ms/step
+    on v5e, dwarfing the actual 8 KB of new KV bytes.)"""
+    B, H, L, D = chunk.shape
+    zero = jnp.int32(0)
+    lyr = jnp.int32(layer)
+    out = buf
+    for b in range(B):
+        out = jax.lax.dynamic_update_slice(
+            out, chunk[b][None, None], (lyr, jnp.int32(b), zero, offsets[b], zero)
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -11,7 +11,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .quantize import QuantizedTensor, quantized_linear, unpack_supergroup
+from .quantize import (
+    QuantizedTensor,
+    quantized_linear,
+    unpack_magic_t,
+    unpack_supergroup,
+)
 
 
 class Embedding:
@@ -38,10 +43,17 @@ class Embedding:
 def quantized_embedding_gather(qt: QuantizedTensor, ids: jax.Array) -> jax.Array:
     """Gather + dequantize only the selected vocab rows."""
     flat = ids.reshape(-1)
-    packed_rows = jnp.take(qt.packed, flat, axis=0)
-    scales_rows = jnp.take(qt.scales, flat, axis=0).astype(jnp.float32)
-    biases_rows = jnp.take(qt.biases, flat, axis=0).astype(jnp.float32)
-    vals = unpack_supergroup(packed_rows, qt.k_padded, qt.group_size, qt.bits)
+    if qt.layout == "magic_t":
+        # Transposed layout: vocab rows live on the LANE axis.
+        packed_cols = jnp.take(qt.packed, flat, axis=1)  # [K/8, B]
+        scales_rows = jnp.take(qt.scales, flat, axis=1).T.astype(jnp.float32)
+        biases_rows = jnp.take(qt.biases, flat, axis=1).T.astype(jnp.float32)
+        vals = unpack_magic_t(packed_cols, qt.k_padded, qt.group_size, qt.bits)
+    else:
+        packed_rows = jnp.take(qt.packed, flat, axis=0)
+        scales_rows = jnp.take(qt.scales, flat, axis=0).astype(jnp.float32)
+        biases_rows = jnp.take(qt.biases, flat, axis=0).astype(jnp.float32)
+        vals = unpack_supergroup(packed_rows, qt.k_padded, qt.group_size, qt.bits)
     G = qt.k_padded // qt.group_size
     vg = vals.reshape(flat.shape[0], G, qt.group_size).astype(jnp.float32)
     w = (vg * scales_rows[..., None] + biases_rows[..., None]).reshape(

@@ -5,18 +5,35 @@ Semantics parity with MLX group quantization as used by the reference
 into `group_size` groups along the input dimension; each group stores a
 scale and bias with `w ~= q * scale + bias`, q unsigned `bits`-bit.
 
-TPU-first storage layout (deliberately different from MLX): values are
-packed in SUPERGROUPS of `vpw * group_size` values (vpw = 32 / bits; 1024
-for W4 g128). Within a supergroup, nibble-plane j of the `group_size`
-uint32 words is exactly quant group j:
+TPU-first storage layouts (deliberately different from MLX), selected by
+the static `layout` field:
+
+* "magic_t" (default for 2-D W4): TRANSPOSED packing, `packed[K_pad/8, N]`
+  uint32 with K on sublanes and N on lanes, `scales`/`biases` `[G, N]`
+  float32. K pads to a multiple of 512 (a "magic supergroup" = 4 groups =
+  64 word rows — every Qwen3 K is already a multiple, so padding is
+  usually zero). Logical value k = sg*512 + j*128 + 2w + h is stored in
+  word row sg*64 + w at bits [16h + 4j, 16h + 4j + 4), so nibble-pair
+  plane j of a 64-word block is exactly quant group sg*4 + j. This is the
+  layout the magic-number dequant consumes: `(word >> 4j) & 0x000F000F |
+  0x43004300` bit-casts (pltpu.bitcast, which doubles the sublane dim) to
+  bf16 values `128 + q` on ADJACENT sublanes in logical-k order, so the
+  Pallas kernel dequants with 3 VPU ops per 8 values and feeds the MXU in
+  native [K, N] orientation — no transpose, no per-value scale multiply
+  (scale/bias fold per group AFTER the dot: w = (128+q)*s + (b-128*s)).
+
+* "sg" (stacked experts / non-4-bit): `packed[..., N, K_pad/8]` uint32
+  where nibble-plane j of the `group_size` words of supergroup sg is quant
+  group j:
 
     packed[n, sg * group_size + w]  bits [4j, 4j+4)  =  q[n, sg*1024 + j*128 + w]
 
-A Pallas kernel can therefore dequantize with one shift+mask per group, a
-per-group sublane broadcast of scale/bias, and a lane-axis concat — no
-cross-lane interleave at all. (MLX's consecutive little-endian packing
-would force an 8-way lane shuffle on the VPU.) K is padded in storage to a
-supergroup multiple; padded groups dequantize to exactly 0.
+  Dequant is one shift+mask per group, a per-group sublane broadcast of
+  scale/bias, and a lane-axis concat — no cross-lane interleave. (MLX's
+  consecutive little-endian packing would force an 8-way lane shuffle.)
+
+K is padded in storage to a supergroup multiple; padded groups dequantize
+to exactly 0 (scale 1, bias 0, q 0 — and zero-padded activations anyway).
 """
 
 from __future__ import annotations
@@ -40,13 +57,14 @@ def supergroup_values(group_size: int, bits: int) -> int:
 class QuantizedTensor:
     """Group-quantized 2-D weight with logical shape [out_features, in_features].
 
-    Fields:
-      packed: uint32 [N, k_padded // values_per_word], supergroup layout
-      scales: [N, k_padded // group_size]
-      biases: [N, k_padded // group_size]
+    Fields (see module docstring for the two layouts):
+      packed: uint32 — "magic_t": [k_padded // vpw, N]; "sg": [N, k_padded // vpw]
+      scales: "magic_t": float32 [G, N]; "sg": [N, G]
+      biases: same shape as scales
       group_size, bits: quantization parameters (static)
       out_features, in_features: logical shape (static)
       k_padded: storage K, a supergroup multiple (static)
+      layout: "magic_t" | "sg" (static)
     """
 
     packed: jax.Array
@@ -57,6 +75,7 @@ class QuantizedTensor:
     out_features: int = static_field(default=0)
     in_features: int = static_field(default=0)
     k_padded: int = static_field(default=0)
+    layout: str = static_field(default="sg")
 
     @property
     def shape(self):
@@ -92,6 +111,49 @@ def unpack_supergroup(
     return vals.reshape(*lead, k_padded).astype(jnp.int32)
 
 
+MAGIC_SUPERGROUP = 512  # 4 quant groups; 64 uint32 word rows
+
+
+def pack_magic_t(q: jax.Array, group_size: int, bits: int) -> jax.Array:
+    """Pack unsigned values [N, K_pad] -> uint32 [K_pad / vpw, N] (magic_t).
+
+    Logical value k = sg*512 + j*128 + 2w + h lands in word row sg*64 + w
+    at bits [16h + 4j, 16h + 4j + 4) so the in-kernel magic extraction
+    yields logical-k-ordered bf16 sublanes, one quant group per extraction.
+    W4 g128 only.
+    """
+    assert bits == 4 and group_size == 128, "magic_t layout is W4 g128 only"
+    N, K = q.shape
+    assert K % MAGIC_SUPERGROUP == 0, f"K={K} not a multiple of {MAGIC_SUPERGROUP}"
+    n_sg = K // MAGIC_SUPERGROUP
+    half = MAGIC_SUPERGROUP // 8  # 64 word rows per supergroup
+    # [N, n_sg, j(4), w(64), h(2)]: k-order = j major, then w, then h.
+    qv = q.reshape(N, n_sg, 4, half, 2).astype(jnp.uint32)
+    word = jnp.zeros((N, n_sg, half), dtype=jnp.uint32)
+    for j in range(4):
+        word = word | (qv[:, :, j, :, 0] << (4 * j)) | (qv[:, :, j, :, 1] << (16 + 4 * j))
+    return word.reshape(N, K // 8).T
+
+
+def unpack_magic_t(
+    packed_t: jax.Array, k_padded: int, group_size: int, bits: int
+) -> jax.Array:
+    """Inverse of pack_magic_t: uint32 [K_pad / vpw, N'] -> int32 [N', K_pad]."""
+    assert bits == 4 and group_size == 128
+    n_sg = k_padded // MAGIC_SUPERGROUP
+    half = MAGIC_SUPERGROUP // 8
+    N = packed_t.shape[1]
+    word = packed_t.T.reshape(N, n_sg, half)
+    mask = jnp.uint32(0xF)
+    planes = []
+    for j in range(4):
+        lo = (word >> (4 * j)) & mask
+        hi = (word >> (16 + 4 * j)) & mask
+        planes.append(jnp.stack([lo, hi], axis=-1))  # [N, n_sg, 64, 2]
+    vals = jnp.stack(planes, axis=2)  # [N, n_sg, 4, 64, 2]
+    return vals.reshape(N, k_padded).astype(jnp.int32)
+
+
 def unpack_mlx(packed: jax.Array, bits: int) -> jax.Array:
     """Unpack MLX layout: consecutive values little-endian within each word.
 
@@ -110,9 +172,16 @@ def _from_values(
     group_size: int,
     bits: int,
     K: int,
+    layout: str | None = None,
 ) -> QuantizedTensor:
     N = vals.shape[0]
-    sg_vals = supergroup_values(group_size, bits)
+    if layout is None:
+        layout = "magic_t" if (bits == 4 and group_size == 128) else "sg"
+    sg_vals = (
+        MAGIC_SUPERGROUP
+        if layout == "magic_t"
+        else supergroup_values(group_size, bits)
+    )
     k_padded = ((K + sg_vals - 1) // sg_vals) * sg_vals
     g_padded = k_padded // group_size
     G = K // group_size
@@ -122,19 +191,33 @@ def _from_values(
             scales, ((0, 0), (0, g_padded - G)), constant_values=1
         )
         biases = jnp.pad(biases, ((0, 0), (0, g_padded - G)))
+    if layout == "magic_t":
+        packed = pack_magic_t(vals.astype(jnp.uint32), group_size, bits)
+        scales = scales.astype(jnp.float32).T
+        biases = biases.astype(jnp.float32).T
+    else:
+        packed = pack_supergroup(vals.astype(jnp.uint32), group_size, bits)
+        scales = scales.astype(jnp.bfloat16)
+        biases = biases.astype(jnp.bfloat16)
     return QuantizedTensor(
-        packed=pack_supergroup(vals.astype(jnp.uint32), group_size, bits),
-        scales=scales.astype(jnp.bfloat16),
-        biases=biases.astype(jnp.bfloat16),
+        packed=packed,
+        scales=scales,
+        biases=biases,
         group_size=group_size,
         bits=bits,
         out_features=N,
         in_features=K,
         k_padded=k_padded,
+        layout=layout,
     )
 
 
-def quantize(w: jax.Array, group_size: int = 128, bits: int = 4) -> QuantizedTensor:
+def quantize(
+    w: jax.Array,
+    group_size: int = 128,
+    bits: int = 4,
+    layout: str | None = None,
+) -> QuantizedTensor:
     """Affine group quantization: per group scale = (max-min)/(2^bits - 1),
     bias = min, q = round((w - bias) / scale)."""
     N, K = w.shape
@@ -147,7 +230,8 @@ def quantize(w: jax.Array, group_size: int = 128, bits: int = 4) -> QuantizedTen
     scale = jnp.where(scale == 0, jnp.ones_like(scale), scale)
     q = jnp.clip(jnp.round((wg - gmin[..., None]) / scale[..., None]), 0, levels)
     return _from_values(
-        q.reshape(N, K).astype(jnp.int32), scale, gmin, group_size, bits, K
+        q.reshape(N, K).astype(jnp.int32), scale, gmin, group_size, bits, K,
+        layout=layout,
     )
 
 
@@ -157,19 +241,78 @@ def from_mlx_packing(
     biases: jax.Array,
     group_size: int,
     bits: int,
+    layout: str | None = None,
 ) -> QuantizedTensor:
-    """Ingest an MLX-packed checkpoint layer into the supergroup layout."""
+    """Ingest an MLX-packed checkpoint layer into the TPU layout."""
     vpw = _values_per_word(bits)
     N = mlx_weight.shape[0]
     K = mlx_weight.shape[-1] * vpw
     vals = unpack_mlx(mlx_weight, bits).reshape(N, K)
-    return _from_values(vals, scales, biases, group_size, bits, K)
+    return _from_values(vals, scales, biases, group_size, bits, K, layout=layout)
+
+
+def convert_layout(qt: QuantizedTensor, layout: str) -> QuantizedTensor:
+    """Repack a 2-D QuantizedTensor into another storage layout (exact —
+    the stored integer values and scales are preserved bit-for-bit)."""
+    if qt.layout == layout:
+        return qt
+    assert qt.packed.ndim == 2, "layout conversion is for 2-D weights"
+    if qt.layout == "magic_t":
+        vals = unpack_magic_t(qt.packed, qt.k_padded, qt.group_size, qt.bits)
+        scales, biases = qt.scales.T, qt.biases.T
+    else:
+        vals = unpack_supergroup(qt.packed, qt.k_padded, qt.group_size, qt.bits)
+        scales, biases = qt.scales, qt.biases
+    # The layouts pad K at different granularities (512 vs 1024).
+    sg_vals = (
+        MAGIC_SUPERGROUP
+        if layout == "magic_t"
+        else supergroup_values(qt.group_size, qt.bits)
+    )
+    k_new = ((qt.k_padded + sg_vals - 1) // sg_vals) * sg_vals
+    if k_new != qt.k_padded:
+        vals = jnp.pad(vals, ((0, 0), (0, k_new - qt.k_padded)))
+        g_new = k_new // qt.group_size
+        scales = jnp.pad(
+            scales, ((0, 0), (0, g_new - scales.shape[1])), constant_values=1
+        )
+        biases = jnp.pad(biases, ((0, 0), (0, g_new - biases.shape[1])))
+    if layout == "magic_t":
+        packed = pack_magic_t(vals.astype(jnp.uint32), qt.group_size, qt.bits)
+        scales = scales.astype(jnp.float32).T
+        biases = biases.astype(jnp.float32).T
+    else:
+        packed = pack_supergroup(vals.astype(jnp.uint32), qt.group_size, qt.bits)
+        scales = scales.astype(jnp.bfloat16)
+        biases = biases.astype(jnp.bfloat16)
+    return QuantizedTensor(
+        packed=packed,
+        scales=scales,
+        biases=biases,
+        group_size=qt.group_size,
+        bits=qt.bits,
+        out_features=qt.out_features,
+        in_features=qt.in_features,
+        k_padded=k_new,
+        layout=layout,
+    )
 
 
 def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Reconstruct the dense weight [..., N, K]: w = q * scale + bias.
 
     Supports stacked expert tensors (leading dims before [N, K])."""
+    if qt.layout == "magic_t":
+        vals = unpack_magic_t(qt.packed, qt.k_padded, qt.group_size, qt.bits)
+        G = qt.k_padded // qt.group_size
+        vg = vals.reshape(qt.out_features, G, qt.group_size).astype(jnp.float32)
+        w = (
+            vg * qt.scales.astype(jnp.float32).T[..., None]
+            + qt.biases.astype(jnp.float32).T[..., None]
+        )
+        return w.reshape(qt.out_features, qt.k_padded)[
+            :, : qt.in_features
+        ].astype(dtype)
     vals = unpack_supergroup(qt.packed, qt.k_padded, qt.group_size, qt.bits)
     *lead, _ = qt.packed.shape
     G = qt.k_padded // qt.group_size

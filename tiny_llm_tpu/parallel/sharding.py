@@ -41,8 +41,20 @@ class ShardingConfig:
     dp_axis: str = "dp"
 
 
-def _qt_spec(row: Any, col: Any) -> dict[str, P]:
-    """PartitionSpecs for QuantizedTensor leaves given (row=N, col=K) axes."""
+def _qt_spec(row: Any, col: Any, layout: str = "sg") -> dict[str, P]:
+    """PartitionSpecs for QuantizedTensor leaves given (row=N, col=K) axes.
+
+    The magic_t layout stores everything transposed ([K*, N]), so the axes
+    swap relative to the logical (N, K) orientation. Scale/bias rows (the
+    quant-group axis G = K/128) are REPLICATED rather than K-sharded:
+    they are ~1.5% of the weight bytes, and G is often not divisible by
+    the mesh axis (e.g. Qwen3-4B down_proj G=76 with tp=8)."""
+    if layout == "magic_t":
+        return {
+            "packed": P(col, row),
+            "scales": P(None, row),
+            "biases": P(None, row),
+        }
     return {
         "packed": P(row, col),
         "scales": P(row, col),
@@ -53,7 +65,7 @@ def _qt_spec(row: Any, col: Any) -> dict[str, P]:
 def _spec_for_linear(leaf_name: str, w, row: Any, col: Any, expert: Any = None):
     """Build the spec for one linear weight (dense array or QuantizedTensor)."""
     if isinstance(w, QuantizedTensor):
-        specs = _qt_spec(row, col)
+        specs = _qt_spec(row, col, layout=w.layout)
         if w.packed.ndim == 3:  # stacked experts [E, N, K*]
             specs = {k: P(expert, *v) for k, v in specs.items()}
         return QuantizedTensor(
@@ -65,6 +77,7 @@ def _spec_for_linear(leaf_name: str, w, row: Any, col: Any, expert: Any = None):
             out_features=w.out_features,
             in_features=w.in_features,
             k_padded=w.k_padded,
+            layout=w.layout,
         )
     if w.ndim == 3:
         return P(expert, row, col)
