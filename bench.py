@@ -117,7 +117,7 @@ def main() -> None:
     p.add_argument("--requests", type=int, default=16)
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--prefill-step", type=int, default=128)
-    p.add_argument("--decode-burst", type=int, default=8)
+    p.add_argument("--decode-burst", type=int, default=16)
     args = p.parse_args()
 
     if args.mode == "serving":
@@ -134,25 +134,73 @@ def main() -> None:
     prompt = jnp.asarray(
         rng.integers(0, cfg.vocab_size, size=(1, args.prompt_len)), dtype=jnp.int32
     )
+    burst = max(1, min(args.decode_burst, args.decode))
 
-    # Warmup: compile prefill + decode programs.
+    def run_decode(timed: bool):
+        """Prefill then `args.decode` greedy steps in fetch-synced bursts
+        (the serving decode path: one dispatch + one host fetch per burst).
+        jax.device_get provably awaits remote completion on every backend;
+        block_until_ready does not on some tunnels (see probe_sync.py)."""
+        cache = model.create_kv_cache()
+        t0 = time.perf_counter()
+        logits = model(prompt, 0, cache, logits_to_keep=1)
+        tok = np.asarray(
+            jax.device_get(
+                jnp.argmax(logits[:, -1, :].astype(jnp.float32), axis=-1)
+            ),
+            np.int32,
+        )
+        prefill_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        done = 0
+        while done < args.decode:
+            k = min(burst, args.decode - done)
+            toks = model.decode_burst_dense(cache, tok, k)  # fetches toks
+            tok = np.asarray(toks[-1], np.int32)
+            done += k
+        decode_s = time.perf_counter() - t0
+        cache.release()
+        return prefill_s, decode_s
+
+    run_decode(timed=False)  # compile the prefill + both burst shapes
+    prefill_s, decode_s = run_decode(timed=True)
+    prefill_tok_s = args.prompt_len / prefill_s
+    decode_tok_s = args.decode / decode_s
+
+    # Device ceiling: the whole decode in ONE dispatch + one fetch.
     cache = model.create_kv_cache()
     logits = model(prompt, 0, cache, logits_to_keep=1)
-    tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-    _ = model(tok[None], args.prompt_len, cache, logits_to_keep=1)
-    jax.block_until_ready(_)
+    tok = np.asarray(
+        jax.device_get(jnp.argmax(logits[:, -1, :].astype(jnp.float32), axis=-1)),
+        np.int32,
+    )
+    model.decode_burst_dense(cache, tok, args.decode)  # compile
+    cache.release()
+    cache = model.create_kv_cache()
+    logits = model(prompt, 0, cache, logits_to_keep=1)
+    tok = np.asarray(
+        jax.device_get(jnp.argmax(logits[:, -1, :].astype(jnp.float32), axis=-1)),
+        np.int32,
+    )
+    t0 = time.perf_counter()
+    model.decode_burst_dense(cache, tok, args.decode)
+    device_tok_s = args.decode / (time.perf_counter() - t0)
     cache.release()
 
-    # Timed prefill.
+    # Secondary: reference-methodology per-step loop (one model call per
+    # token), fetch-synced at the end — includes per-step dispatch costs.
     cache = model.create_kv_cache()
-    t0 = time.perf_counter()
     logits = model(prompt, 0, cache, logits_to_keep=1)
-    jax.block_until_ready(logits)
-    prefill_s = time.perf_counter() - t0
-    prefill_tok_s = args.prompt_len / prefill_s
-
-    # Timed decode: feed argmax back without host sync inside the loop.
     tok = jnp.argmax(logits[:, -1, :].astype(jnp.float32), axis=-1).astype(jnp.int32)
+    jax.device_get(tok)
+    # Warm the per-step program (excluded from timing).
+    _ = model(tok[None], args.prompt_len, cache, logits_to_keep=1)
+    jax.device_get(_)
+    cache.release()
+    cache = model.create_kv_cache()
+    logits = model(prompt, 0, cache, logits_to_keep=1)
+    tok = jnp.argmax(logits[:, -1, :].astype(jnp.float32), axis=-1).astype(jnp.int32)
+    jax.device_get(tok)
     offset = args.prompt_len
     t0 = time.perf_counter()
     for _ in range(args.decode):
@@ -161,9 +209,9 @@ def main() -> None:
             jnp.int32
         )
         offset += 1
-    jax.block_until_ready(tok)
-    decode_s = time.perf_counter() - t0
-    decode_tok_s = args.decode / decode_s
+    jax.device_get(tok)
+    per_step_tok_s = args.decode / (time.perf_counter() - t0)
+    cache.release()
 
     print(
         json.dumps(
@@ -173,6 +221,9 @@ def main() -> None:
                 "unit": "tok/s",
                 "vs_baseline": round(decode_tok_s / REFERENCE_DECODE_TOK_S, 3),
                 "prefill_tok_s": round(prefill_tok_s, 2),
+                "device_burst_tok_s": round(device_tok_s, 2),
+                "per_step_loop_tok_s": round(per_step_tok_s, 2),
+                "decode_burst": burst,
                 "prompt_len": args.prompt_len,
                 "decode_steps": args.decode,
                 "backend": jax.default_backend(),
