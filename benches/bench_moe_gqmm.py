@@ -18,32 +18,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tiny_llm_tpu.ops.quantize import QuantizedTensor, dequantize, quantize
+from tiny_llm_tpu.ops.quantize import (
+    QuantizedTensor,
+    dequantize,
+    quantize,
+    quantize_stacked,
+)
 from tiny_llm_tpu.kernels.moe_matmul import grouped_quantized_matmul
 
 ITERS = 50
 
 
-def stack_experts(E, N, K, seed=0):
+def stack_experts(E, N, K, seed=0, layout="sg"):
     # One batched quantize over [E*N, K] — quantization groups are per
     # output row, so flattening experts is exact.
     rng = np.random.default_rng(seed)
     w = jnp.asarray(
-        rng.normal(size=(E * N, K)).astype(np.float32) * 0.1, jnp.float32
+        rng.normal(size=(E, N, K)).astype(np.float32) * 0.1, jnp.float32
     )
-    q = jax.jit(
-        quantize, static_argnames=("group_size", "bits", "layout")
-    )(w, layout="sg")
-    return QuantizedTensor(
-        packed=q.packed.reshape(E, N, -1),
-        scales=q.scales.reshape(E, N, -1),
-        biases=q.biases.reshape(E, N, -1),
-        group_size=q.group_size,
-        bits=q.bits,
-        out_features=N,
-        in_features=K,
-        k_padded=q.k_padded,
-    )
+    return jax.jit(
+        quantize_stacked, static_argnames=("group_size", "bits", "layout")
+    )(w, layout=layout)
 
 
 def xla_grouped(x, qt, group_sizes):
@@ -112,13 +107,17 @@ def main():
         touched = nonempty * (N * K // 2 + 2 * N * (K // 128) * 2)
         print(f"\n[{label}] E={E} N={N} K={K} T={T} routed_experts={nonempty}",
               flush=True)
-        t_p = bench("pallas fused ragged",
+        qt_m = stack_experts(E, N, K, layout="magic_t")
+        t_m = bench("pallas magic_t ragged",
+                    lambda x, q, s: grouped_quantized_matmul(x, q, s),
+                    x_logical, qt_m, sizes, touched)
+        t_p = bench("pallas sg ragged",
                     lambda x, q, s: grouped_quantized_matmul(x, q, s),
                     x_logical, qt, sizes, touched)
         t_x = bench("xla dequant+ragged_dot",
                     xla_grouped, x_logical, qt, sizes,
                     E * (N * K // 2))
-        print(f"{'speedup':26s} {t_x / t_p:9.2f}x")
+        print(f"{'magic vs sg':26s} {t_p / t_m:9.2f}x   magic vs xla {t_x / t_m:.2f}x")
 
 
 if __name__ == "__main__":

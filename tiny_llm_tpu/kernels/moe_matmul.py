@@ -117,6 +117,124 @@ def _gqmm_kernel(
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _gqmm_magic_kernel(
+    gids_ref, mtids_ref, flags_ref, goffs_ref,  # scalar prefetch
+    x_ref, w_ref, s_ref, b_ref,  # inputs (magic_t stacked layout)
+    out_ref,
+    acc_ref,  # scratch
+    *, group_size: int, bm: int,
+):
+    """Ragged walk identical to _gqmm_kernel, but the dequant inner loop is
+    the magic-bitcast extraction of quant_matmul._magic_kernel: w_ref is
+    [1, Kp/8, bn] (K on sublanes), scale/bias fold per group after the
+    MXU dot, ~3 VPU ops per 8 values instead of ~40."""
+    i = pl.program_id(1)
+    flag = flags_ref[i]
+    gs = group_size
+    half = gs // 2
+    num_sg = w_ref.shape[1] // half
+    mask = jnp.uint32(0x000F000F)
+    magic = jnp.uint32(0x43004300)
+
+    @pl.when((flag >> 1) & 1 == 1)  # first visit of this m-tile
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(flag & 1 == 1)  # valid logical tile
+    def _():
+        g = gids_ref[i]
+        row0 = mtids_ref[i] * bm
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
+        rmask = (rows >= goffs_ref[g]) & (rows < goffs_ref[g + 1])
+        x = jnp.where(rmask, x_ref[:], jnp.zeros_like(x_ref))
+        for sg in range(num_sg):
+            words = w_ref[0, sg * half : (sg + 1) * half, :]
+            for j in range(4):
+                gq = sg * 4 + j
+                t = ((words >> (4 * j)) & mask) | magic
+                v = pltpu.bitcast(t, jnp.bfloat16)  # [gs, bn] = 128 + q
+                xg = x[:, gq * gs : (gq + 1) * gs]
+                d = jax.lax.dot_general(
+                    xg,
+                    v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+                s = s_ref[0, gq : gq + 1, :]
+                c = b_ref[0, gq : gq + 1, :] - 128.0 * s
+                acc_ref[:] += d * s + xs * c
+
+    @pl.when((flag >> 2) & 1 == 1)  # last visit: flush the accumulator
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "bits", "interpret")
+)
+def _gqmm_magic_pallas(
+    x_pad: jax.Array,  # [T, k_padded] bf16, rows sorted by expert
+    packed: jax.Array,  # [E, k_padded // 8, N] uint32 (magic_t stacked)
+    scales: jax.Array,  # [E, G, N] f32
+    biases: jax.Array,
+    group_sizes: jax.Array,  # [E] int32
+    group_size: int,
+    bits: int,
+    interpret: bool = False,
+) -> jax.Array:
+    assert bits == 4
+    T, K = x_pad.shape
+    E, _, N = packed.shape
+    G = scales.shape[1]
+    bm, bn = _gqmm_block_sizes(T, N, K)
+    tiles_m = _cdiv(T, bm)
+    tiles_n = _cdiv(N, bn)
+    gids, mtids, flags, goffs = _group_metadata(group_sizes, T, bm, E, tiles_m)
+    num_logical = jnp.sum(
+        jnp.where(
+            group_sizes > 0,
+            (jnp.cumsum(group_sizes) + bm - 1) // bm
+            - (jnp.cumsum(group_sizes) - group_sizes) // bm,
+            0,
+        )
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(tiles_n, num_logical),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda n, i, gids, mtids, flags, goffs: (mtids[i], 0)),
+            pl.BlockSpec(
+                (1, K // 8, bn),
+                lambda n, i, gids, mtids, flags, goffs: (gids[i], 0, n),
+            ),
+            pl.BlockSpec(
+                (1, G, bn), lambda n, i, gids, mtids, flags, goffs: (gids[i], 0, n)
+            ),
+            pl.BlockSpec(
+                (1, G, bn), lambda n, i, gids, mtids, flags, goffs: (gids[i], 0, n)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda n, i, gids, mtids, flags, goffs: (mtids[i], n)
+        ),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    kernel = functools.partial(_gqmm_magic_kernel, group_size=group_size, bm=bm)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, N), x_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * N * K,
+            bytes_accessed=T * K * 2 + packed.size * 4 + scales.size * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(gids, mtids, flags, goffs, x_pad, packed, scales, biases)
+
+
 def _gqmm_block_sizes(T: int, N: int, K: int):
     if T <= 16:
         bm = 16
@@ -218,13 +336,25 @@ def grouped_quantized_matmul(
     interpret: bool = False,
 ) -> jax.Array:
     """out[t] = grouped_x[t] @ dequant(qt[expert_of_row_t]).T, fused."""
-    assert qt.packed.ndim == 3, "expects stacked expert weights [E, N, K/vpw]"
+    assert qt.packed.ndim == 3, "expects stacked expert weights"
     assert grouped_x.shape[-1] == qt.in_features
     assert qt.k_padded <= MAX_RESIDENT_K
     T, K = grouped_x.shape
     x2 = grouped_x.astype(jnp.bfloat16)
     if qt.k_padded != K:
         x2 = jnp.pad(x2, ((0, 0), (0, qt.k_padded - K)))
+    if qt.layout == "magic_t":
+        out = _gqmm_magic_pallas(
+            x2,
+            qt.packed,
+            qt.scales,
+            qt.biases,
+            group_sizes,
+            group_size=qt.group_size,
+            bits=qt.bits,
+            interpret=interpret,
+        )
+        return out.astype(grouped_x.dtype)
     out = _gqmm_pallas(
         x2,
         qt.packed,

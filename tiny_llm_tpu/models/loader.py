@@ -24,6 +24,7 @@ from ..ops.quantize import (
     convert_layout,
     from_mlx_packing,
     quantize,
+    quantize_stacked,
 )
 from .qwen3 import (
     AttentionParams,
@@ -46,20 +47,9 @@ def _maybe_quantize(
         return w.astype(jnp.bfloat16)
     if w.ndim == 2:
         return quantize(w, group_size=group_size, bits=bits, layout=layout)
-    # Stacked expert weights [E, N, K]: quantize as (E*N, K) and restack.
-    # The ragged MoE kernel consumes the "sg" layout (kernels/moe_matmul.py).
-    E, N, K = w.shape
-    qt = quantize(w.reshape(E * N, K), group_size=group_size, bits=bits, layout="sg")
-    return QuantizedTensor(
-        packed=qt.packed.reshape(E, N, -1),
-        scales=qt.scales.reshape(E, N, -1),
-        biases=qt.biases.reshape(E, N, -1),
-        group_size=qt.group_size,
-        bits=qt.bits,
-        out_features=N,
-        in_features=K,
-        k_padded=qt.k_padded,
-    )
+    # Stacked expert weights [E, N, K] — both ragged-kernel layouts work;
+    # magic_t is the fast one (kernels/moe_matmul.py).
+    return quantize_stacked(w, group_size=group_size, bits=bits, layout=layout)
 
 
 def random_params(
@@ -163,17 +153,17 @@ def synthetic_quantized_params(
     def qlin(*shape, layout: str | None = None):
         *lead, N, K = shape
         if layout is None:
-            layout = (
-                "magic_t" if (not lead and bits == 4 and group_size == 128) else "sg"
-            )
+            layout = "magic_t" if (bits == 4 and group_size == 128) else "sg"
         from ..ops.quantize import MAGIC_SUPERGROUP
 
         pad_to = MAGIC_SUPERGROUP if layout == "magic_t" else sg
         k_padded = ((K + pad_to - 1) // pad_to) * pad_to
         if layout == "magic_t":
-            packed = jax.random.bits(nxt(), (k_padded // vpw, N), dtype=jnp.uint32)
+            packed = jax.random.bits(
+                nxt(), (*lead, k_padded // vpw, N), dtype=jnp.uint32
+            )
             scales = (
-                jax.random.uniform(nxt(), (k_padded // group_size, N)) * 0.004
+                jax.random.uniform(nxt(), (*lead, k_padded // group_size, N)) * 0.004
                 + 0.001
             ).astype(jnp.float32)
             biases = -7.5 * scales

@@ -251,6 +251,39 @@ def from_mlx_packing(
     return _from_values(vals, scales, biases, group_size, bits, K, layout=layout)
 
 
+def quantize_stacked(
+    w: jax.Array,  # [E, N, K] stacked expert weights
+    group_size: int = 128,
+    bits: int = 4,
+    layout: str | None = None,
+) -> QuantizedTensor:
+    """Quantize a stacked expert tensor. Groups are per output row, so one
+    flat [E*N, K] quantize pass is exact; the leaves are then restacked
+    with E leading ("magic_t": packed [E, Kp/8, N], scales [E, G, N];
+    "sg": packed [E, N, Kp/8], scales [E, N, G])."""
+    E, N, K = w.shape
+    qt = quantize(w.reshape(E * N, K), group_size=group_size, bits=bits, layout=layout)
+    if qt.layout == "magic_t":
+        packed = qt.packed.reshape(-1, E, N).transpose(1, 0, 2)
+        scales = qt.scales.reshape(-1, E, N).transpose(1, 0, 2)
+        biases = qt.biases.reshape(-1, E, N).transpose(1, 0, 2)
+    else:
+        packed = qt.packed.reshape(E, N, -1)
+        scales = qt.scales.reshape(E, N, -1)
+        biases = qt.biases.reshape(E, N, -1)
+    return QuantizedTensor(
+        packed=packed,
+        scales=scales,
+        biases=biases,
+        group_size=qt.group_size,
+        bits=qt.bits,
+        out_features=N,
+        in_features=K,
+        k_padded=qt.k_padded,
+        layout=qt.layout,
+    )
+
+
 def convert_layout(qt: QuantizedTensor, layout: str) -> QuantizedTensor:
     """Repack a 2-D QuantizedTensor into another storage layout (exact —
     the stored integer values and scales are preserved bit-for-bit)."""
@@ -303,8 +336,22 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
 
     Supports stacked expert tensors (leading dims before [N, K])."""
     if qt.layout == "magic_t":
-        vals = unpack_magic_t(qt.packed, qt.k_padded, qt.group_size, qt.bits)
         G = qt.k_padded // qt.group_size
+        if qt.packed.ndim == 3:  # stacked experts [E, Kp/8, N]
+            E, _, N = qt.packed.shape
+            p2 = qt.packed.transpose(1, 0, 2).reshape(qt.k_padded // 8, E * N)
+            vals = unpack_magic_t(p2, qt.k_padded, qt.group_size, qt.bits)
+            s2 = qt.scales.transpose(1, 0, 2).reshape(G, E * N)
+            b2 = qt.biases.transpose(1, 0, 2).reshape(G, E * N)
+            vg = vals.reshape(E * N, G, qt.group_size).astype(jnp.float32)
+            w = (
+                vg * s2.astype(jnp.float32).T[..., None]
+                + b2.astype(jnp.float32).T[..., None]
+            )
+            return w.reshape(E, N, qt.k_padded)[
+                ..., : qt.in_features
+            ].astype(dtype)
+        vals = unpack_magic_t(qt.packed, qt.k_padded, qt.group_size, qt.bits)
         vg = vals.reshape(qt.out_features, G, qt.group_size).astype(jnp.float32)
         w = (
             vg * qt.scales.astype(jnp.float32).T[..., None]
