@@ -241,8 +241,10 @@ def _flash_prefill(
     lens: jax.Array,
     scale: float,
     causal: bool,
-    bq: int = 256,
-    bs: int = 512,
+    # Swept on v5e at 8K (benches): (1024, 1024) is 3.1x over (256, 512)
+    # — per-tile softmax/bookkeeping overhead dominates below ~1K tiles.
+    bq: int = 1024,
+    bs: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     B, Hq, L, D = q.shape

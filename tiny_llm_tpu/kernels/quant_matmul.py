@@ -123,7 +123,9 @@ def _block_sizes(M: int, N: int, K: int):
     return bm, bn
 
 
-def _magic_kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref, *, group_size):
+def _magic_kernel(
+    x_ref, w_ref, s_ref, b_ref, out_ref, stage_ref, acc_ref, *, group_size
+):
     """acc[bm, bn] += x[bm, K] @ magic-dequant(w[K/8, bn]) — transposed layout.
 
     Per supergroup (8 groups, 1024 values): 4 magic extractions
@@ -146,21 +148,51 @@ def _magic_kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref, *, group_size):
     acc_ref[:] = jnp.zeros_like(acc_ref)
     for sg in range(num_sg):
         words = w_ref[sg * half : (sg + 1) * half, :]
-        for j in range(4):
-            g = sg * 4 + j  # nibble-pair plane j IS quant group g
-            t = ((words >> (4 * j)) & mask) | magic
-            v = pltpu.bitcast(t, jnp.bfloat16)  # [gs, bn] = 128 + q
-            xg = x_ref[:, g * gs : (g + 1) * gs]
-            d = jax.lax.dot_general(
-                xg,
-                v,
+        if stage_ref is None:
+            # Decode / small-M: one MXU dot per group, scale/bias folded
+            # after the dot — minimum VPU work (the path is HBM-bound).
+            for j in range(4):
+                g = sg * 4 + j  # nibble-pair plane j IS quant group g
+                t = ((words >> (4 * j)) & mask) | magic
+                v = pltpu.bitcast(t, jnp.bfloat16)  # [gs, bn] = 128 + q
+                xg = x_ref[:, g * gs : (g + 1) * gs]
+                d = jax.lax.dot_general(
+                    xg,
+                    v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+                s = s_ref[g : g + 1, :]
+                c = b_ref[g : g + 1, :] - 128.0 * s
+                acc_ref[:] += d * s + xs * c
+        else:
+            # Prefill / large-M: pre-scale the staged tile per group and do
+            # ONE 512-deep MXU dot per supergroup — ~1.4x MFU at M>=512
+            # (the extra VPU mul amortizes over bm rows; the MXU prefers
+            # deeper contractions over 4 shallow ones).
+            for j in range(4):
+                g = sg * 4 + j
+                t = ((words >> (4 * j)) & mask) | magic
+                v = pltpu.bitcast(t, jnp.bfloat16)  # [gs, bn] = 128 + q
+                s = s_ref[g : g + 1, :].astype(jnp.bfloat16)
+                # (v - 128) recovers the exact integer q in bf16; staging
+                # q*s keeps the oracle's rounding (staging (128+q)*s would
+                # drown q*s in the 128*s term's mantissa).
+                stage_ref[j * gs : (j + 1) * gs, :] = (v - 128.0) * s
+            x_sg = x_ref[:, sg * 4 * gs : (sg + 1) * 4 * gs]
+            acc_ref[:] += jax.lax.dot_general(
+                x_sg,
+                stage_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-            s = s_ref[g : g + 1, :]
-            c = b_ref[g : g + 1, :] - 128.0 * s
-            acc_ref[:] += d * s + xs * c
+            # Bias term per group: (sum x_g) * b, f32 outer adds.
+            for j in range(4):
+                g = sg * 4 + j
+                xg = x_ref[:, g * gs : (g + 1) * gs]
+                xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+                acc_ref[:] += xs * b_ref[g : g + 1, :]
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
@@ -181,12 +213,16 @@ def _magic_block_sizes(M: int, N: int, Kp: int) -> tuple[int, int]:
         xb = 2 * bm * Kp * 2
         acc = bm * bn * 4
         out = 2 * bm * bn * 2
-        return w + xb + acc + out + (1 << 20) <= 13 * 1024 * 1024
+        stage = 512 * bn * 2 if bm >= 128 else 0  # staged-dot scratch
+        return w + xb + acc + out + stage + (1 << 20) <= 13 * 1024 * 1024
 
-    # Measured on v5e across the Qwen3-4B shapes: ~8 grid steps is the
-    # sweet spot (enough double-buffer overlap, low per-step overhead), so
-    # bn ~= N/8 clamped to [256, 1024].
-    bn = min(1024, max(256, 256 * -(-(N // 8) // 256)))
+    # Measured on v5e across the Qwen3-4B shapes: decode wants ~8 grid
+    # steps (bn ~= N/8, clamped to [256, 1024]); the staged prefill path
+    # wants (bm=256, bn=512) — deepest MXU feed under the VMEM budget.
+    if bm >= 128:
+        bn = 512
+    else:
+        bn = min(1024, max(256, 256 * -(-(N // 8) // 256)))
     while not fits(bm, bn) and bn > 256:
         bn //= 2
     while not fits(bm, bn) and bm > 8:
@@ -209,20 +245,41 @@ def _qmm_magic_pallas(
     N = packed_t.shape[1]
     G = scales_t.shape[0]
     bm, bn = _magic_block_sizes(M, N, Kp)
-    grid = (pl.cdiv(N, bn), pl.cdiv(M, bm))  # n outer: w block reused over m
-    kernel = functools.partial(_magic_kernel, group_size=group_size)
+    staged = bm >= 128  # prefill: one 512-deep dot per supergroup
+    if staged:
+        # m OUTER: the x block (large at prefill) loads once per m-block;
+        # the weights re-stream per m-block but overlap MXU compute.
+        grid = (pl.cdiv(M, bm), pl.cdiv(N, bn))
+        x_map = lambda m, n: (m, 0)
+        w_map = lambda m, n: (0, n)
+        o_map = lambda m, n: (m, n)
+        kernel = functools.partial(_magic_kernel, group_size=group_size)
+        stage_scratch = [pltpu.VMEM((4 * group_size, bn), jnp.bfloat16)]
+    else:
+        # n OUTER: decode x is tiny; the weight block is the stream.
+        grid = (pl.cdiv(N, bn), pl.cdiv(M, bm))
+        x_map = lambda n, m: (m, 0)
+        w_map = lambda n, m: (0, n)
+        o_map = lambda n, m: (m, n)
+        kernel = functools.partial(
+            lambda x, w, s, b, o, acc, **kw: _magic_kernel(
+                x, w, s, b, o, None, acc, **kw
+            ),
+            group_size=group_size,
+        )
+        stage_scratch = []
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, Kp), lambda n, m: (m, 0)),
-            pl.BlockSpec((Kp // 8, bn), lambda n, m: (0, n)),
-            pl.BlockSpec((G, bn), lambda n, m: (0, n)),
-            pl.BlockSpec((G, bn), lambda n, m: (0, n)),
+            pl.BlockSpec((bm, Kp), x_map),
+            pl.BlockSpec((Kp // 8, bn), w_map),
+            pl.BlockSpec((G, bn), w_map),
+            pl.BlockSpec((G, bn), w_map),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda n, m: (m, n)),
+        out_specs=pl.BlockSpec((bm, bn), o_map),
         out_shape=jax.ShapeDtypeStruct((M, N), x_pad.dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=stage_scratch + [pltpu.VMEM((bm, bn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * Kp,
             bytes_accessed=M * Kp * 2 + packed_t.size * 4 + scales_t.size * 8,
