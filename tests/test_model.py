@@ -128,3 +128,71 @@ def test_batched_rows_with_different_offsets(model):
     assert_allclose(out[0, 0], la[0, 0], jnp.bfloat16, atol=5e-2)
     assert_allclose(out[1, 0], lb[0, 0], jnp.bfloat16, atol=5e-2)
     assert list(batch.offsets) == [6, 4]
+
+
+# ---------------------------------------------------------------------------
+# Projection fusion (fuse_projections): exact relayout, same logits.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_fused_projections_match_unfused(quantized):
+    from tiny_llm_tpu.models import fuse_projections
+    from tiny_llm_tpu.models.qwen3 import forward_full
+
+    cfg = tiny_test_config(num_hidden_layers=2)
+    params = random_params(cfg, key=3, quantized=quantized)
+    fused = fuse_projections(params)
+    for layer in fused.layers:
+        assert layer.attn.wqkv is not None and layer.attn.wq is None
+        assert layer.mlp.w_gate_up is not None and layer.mlp.w_gate is None
+    tokens = jnp.asarray([[1, 5, 9, 2, 7, 3]], dtype=jnp.int32)
+    ref = forward_full(params, cfg, tokens)
+    out = forward_full(fused, cfg, tokens)
+    assert_allclose(out, ref, jnp.bfloat16)
+
+
+def test_fused_quantized_weights_bit_exact():
+    """concat_out_features preserves dequantized weights bit-for-bit."""
+    from tiny_llm_tpu.ops.quantize import (
+        concat_out_features,
+        dequantize,
+        quantize,
+    )
+
+    key = jax.random.key(0)
+    w1 = jax.random.normal(key, (64, 512), jnp.float32)
+    w2 = jax.random.normal(jax.random.fold_in(key, 1), (32, 512), jnp.float32)
+    q1, q2 = quantize(w1), quantize(w2)
+    fused = concat_out_features([q1, q2])
+    assert fused.out_features == 96
+    ref = jnp.concatenate([dequantize(q1), dequantize(q2)], axis=0)
+    assert np.array_equal(
+        np.asarray(dequantize(fused), np.float32), np.asarray(ref, np.float32)
+    )
+
+
+def test_moe_params_not_fused():
+    from tiny_llm_tpu.models import fuse_projections
+    from tiny_llm_tpu.models.qwen3 import MoEParams
+
+    cfg = tiny_test_config(
+        num_hidden_layers=1, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=128,
+    )
+    params = random_params(cfg, key=0, quantized=True)
+    fused = fuse_projections(params)
+    mlp = fused.layers[0].mlp
+    assert isinstance(mlp, MoEParams)  # untouched
+    assert fused.layers[0].attn.wqkv is not None
+
+
+def test_shard_params_rejects_fused():
+    from tiny_llm_tpu.models import fuse_projections
+    from tiny_llm_tpu.parallel import ShardingConfig, make_mesh, param_shardings
+
+    cfg = tiny_test_config(num_hidden_layers=1)
+    params = fuse_projections(random_params(cfg, key=0, quantized=True))
+    scfg = ShardingConfig(make_mesh(dp=1, tp=8))
+    with pytest.raises(ValueError, match="fused"):
+        param_shardings(params, scfg)

@@ -8,6 +8,7 @@ from .qwen3 import (
     Qwen3Params,
     forward_full,
     forward_step,
+    fuse_projections,
 )
 from .loader import (
     load_config,
@@ -38,6 +39,7 @@ __all__ = [
     "Qwen3Params",
     "forward_full",
     "forward_step",
+    "fuse_projections",
     "load_config",
     "load_params",
     "random_params",

@@ -104,6 +104,10 @@ class AttentionParams:
     wo: Any
     q_norm: jax.Array
     k_norm: jax.Array
+    # Optional fused [q; k; v] projection (out_features concatenated). When
+    # set, wq/wk/wv are None and the forward pass issues ONE matmul kernel
+    # for all three projections (see fuse_projections).
+    wqkv: Any = None
 
 
 @pytree_dataclass
@@ -111,6 +115,8 @@ class MLPParams:
     w_gate: Any
     w_up: Any
     w_down: Any
+    # Optional fused [gate; up] projection — one kernel instead of two.
+    w_gate_up: Any = None
 
 
 @pytree_dataclass
@@ -184,9 +190,21 @@ def _qkv(
     """Projections + QK-RMSNorm + RoPE -> q [B,Hq,L,D], k/v [B,Hkv,L,D]."""
     B, L, _ = x.shape
     cos_t, sin_t = rope_tabs
-    q = _linear(x, p.wq).reshape(B, L, cfg.num_attention_heads, cfg.head_dim)
-    k = _linear(x, p.wk).reshape(B, L, cfg.num_key_value_heads, cfg.head_dim)
-    v = _linear(x, p.wv).reshape(B, L, cfg.num_key_value_heads, cfg.head_dim)
+    if p.wqkv is not None:
+        dq = cfg.num_attention_heads * cfg.head_dim
+        dkv = cfg.num_key_value_heads * cfg.head_dim
+        qkv = _linear(x, p.wqkv)
+        q = qkv[..., :dq].reshape(B, L, cfg.num_attention_heads, cfg.head_dim)
+        k = qkv[..., dq : dq + dkv].reshape(
+            B, L, cfg.num_key_value_heads, cfg.head_dim
+        )
+        v = qkv[..., dq + dkv :].reshape(
+            B, L, cfg.num_key_value_heads, cfg.head_dim
+        )
+    else:
+        q = _linear(x, p.wq).reshape(B, L, cfg.num_attention_heads, cfg.head_dim)
+        k = _linear(x, p.wk).reshape(B, L, cfg.num_key_value_heads, cfg.head_dim)
+        v = _linear(x, p.wv).reshape(B, L, cfg.num_key_value_heads, cfg.head_dim)
     q = rms_norm(q, p.q_norm, cfg.rms_norm_eps)
     k = rms_norm(k, p.k_norm, cfg.rms_norm_eps)
     q = apply_rope(q, cos_t, sin_t, positions, cfg.head_dim)
@@ -209,7 +227,75 @@ def _mlp(cfg: Qwen3Config, p, x: jax.Array) -> jax.Array:
             num_experts_per_tok=cfg.num_experts_per_tok,
             norm_topk_prob=cfg.norm_topk_prob,
         )
+    if p.w_gate_up is not None:
+        gu = _linear(x, p.w_gate_up)
+        half = gu.shape[-1] // 2
+        return _linear(swiglu(gu[..., :half], gu[..., half:]), p.w_down)
     return _linear(swiglu(_linear(x, p.w_gate), _linear(x, p.w_up)), p.w_down)
+
+
+def _fuse_linears(ws: list) -> Any:
+    """Concatenate linear weights along out_features; None if not fusable."""
+    from ..ops.quantize import concat_out_features
+
+    if all(isinstance(w, QuantizedTensor) for w in ws):
+        head = ws[0]
+        if any(
+            w.layout != head.layout
+            or w.in_features != head.in_features
+            or w.k_padded != head.k_padded
+            or w.group_size != head.group_size
+            or w.bits != head.bits
+            or w.packed.ndim != 2
+            for w in ws
+        ):
+            return None
+        return concat_out_features(ws)
+    if all(isinstance(w, jax.Array) and w.ndim == 2 for w in ws):
+        if any(w.shape[1] != ws[0].shape[1] for w in ws):
+            return None
+        return jnp.concatenate(ws, axis=0)
+    return None  # mixed quantized/dense — keep separate
+
+
+def fuse_projections(params: Qwen3Params) -> Qwen3Params:
+    """Fuse per-layer [q;k;v] and [gate;up] projections into single weights.
+
+    EXACT relayout (quant groups run along K; concatenating out_features
+    preserves every packed word/scale bit-for-bit). Cuts the per-step
+    kernel-launch count from 7 to 4 matmuls per layer and replaces the
+    small kv projections (worst fixed-overhead ratio at decode) with one
+    large streamed weight. The reference dispatches all seven separately
+    (qwen3_week2.py:74-91). Apply to UNSHARDED params only — TP would shard
+    the concatenated N axis across q/k/v boundaries incorrectly
+    (parallel/sharding.py rejects fused params).
+    """
+    new_layers = []
+    for layer in params.layers:
+        attn = layer.attn
+        if attn.wqkv is None:
+            fused = _fuse_linears([attn.wq, attn.wk, attn.wv])
+            if fused is not None:
+                attn = dataclasses.replace(
+                    attn, wq=None, wk=None, wv=None, wqkv=fused
+                )
+        mlp = layer.mlp
+        if isinstance(mlp, MLPParams) and mlp.w_gate_up is None:
+            fused = _fuse_linears([mlp.w_gate, mlp.w_up])
+            if fused is not None:
+                mlp = dataclasses.replace(
+                    mlp, w_gate=None, w_up=None, w_gate_up=fused
+                )
+        new_layers.append(dataclasses.replace(layer, attn=attn, mlp=mlp))
+    return dataclasses.replace(params, layers=tuple(new_layers))
+
+
+def _is_multidevice(params: Qwen3Params) -> bool:
+    for leaf in jax.tree.leaves(params):
+        s = getattr(leaf, "sharding", None)
+        if s is not None and len(s.device_set) > 1:
+            return True
+    return False
 
 
 def forward_full(
@@ -459,7 +545,13 @@ class Qwen3Model:
         cfg: Qwen3Config,
         max_seq_len: int | None = None,
         attn_impl: str | None = None,
+        fuse: bool = True,
     ):
+        # Fusion is an eager relayout; on mesh-sharded params it would
+        # concatenate across the TP axis and destroy the intended placement,
+        # so it only applies to single-device (unsharded) params.
+        if fuse and not _is_multidevice(params):
+            params = fuse_projections(params)
         self.params = params
         self.cfg = cfg
         self.num_hidden_layers = cfg.num_hidden_layers

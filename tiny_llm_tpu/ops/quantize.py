@@ -284,6 +284,40 @@ def quantize_stacked(
     )
 
 
+def concat_out_features(qts: list[QuantizedTensor]) -> QuantizedTensor:
+    """Concatenate 2-D quantized weights along out_features (N) — EXACT.
+
+    Quant groups run along K, so stacking N rows (lanes in magic_t, rows in
+    sg) never crosses a group boundary: the packed words, scales and biases
+    of each input are preserved bit-for-bit. This is how QKV and gate/up
+    projections fuse into one kernel launch (models/qwen3.py
+    fuse_projections); the reference issues them as separate Metal
+    dispatches (qwen3_week2.py:74-80).
+    """
+    head = qts[0]
+    assert all(q.packed.ndim == 2 for q in qts), "2-D weights only"
+    for q in qts[1:]:
+        assert (
+            q.layout == head.layout
+            and q.in_features == head.in_features
+            and q.k_padded == head.k_padded
+            and q.group_size == head.group_size
+            and q.bits == head.bits
+        ), "concat_out_features requires matching K / layout / quant params"
+    axis = 1 if head.layout == "magic_t" else 0
+    return QuantizedTensor(
+        packed=jnp.concatenate([q.packed for q in qts], axis=axis),
+        scales=jnp.concatenate([q.scales for q in qts], axis=axis),
+        biases=jnp.concatenate([q.biases for q in qts], axis=axis),
+        group_size=head.group_size,
+        bits=head.bits,
+        out_features=sum(q.out_features for q in qts),
+        in_features=head.in_features,
+        k_padded=head.k_padded,
+        layout=head.layout,
+    )
+
+
 def convert_layout(qt: QuantizedTensor, layout: str) -> QuantizedTensor:
     """Repack a 2-D QuantizedTensor into another storage layout (exact —
     the stored integer values and scales are preserved bit-for-bit)."""

@@ -89,6 +89,13 @@ def param_shardings(params: Qwen3Params, cfg: ShardingConfig):
     tp = cfg.tp_axis
 
     def attn_spec(attn):
+        if getattr(attn, "wqkv", None) is not None:
+            raise ValueError(
+                "cannot TP-shard fused QKV params: the concatenated "
+                "out_features axis crosses q/k/v boundaries. Shard the "
+                "unfused params (Qwen3Model(..., fuse=False) or the raw "
+                "loader output)."
+            )
         return dataclasses.replace(
             attn,
             wq=_spec_for_linear("wq", attn.wq, tp, None),
@@ -102,6 +109,10 @@ def param_shardings(params: Qwen3Params, cfg: ShardingConfig):
     def mlp_spec(mlp):
         from ..models.qwen3 import MLPParams, MoEParams
 
+        if getattr(mlp, "w_gate_up", None) is not None:
+            raise ValueError(
+                "cannot TP-shard fused gate/up params: shard unfused params."
+            )
         if isinstance(mlp, MoEParams):
             return dataclasses.replace(
                 mlp,
