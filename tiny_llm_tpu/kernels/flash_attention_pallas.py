@@ -129,7 +129,10 @@ def _flash_decode(
     v: jax.Array,
     lens: jax.Array,  # [B] i32
     scale: float,
-    bs: int = 512,
+    # Swept on v5e (2026-08): 512->2048 is 1.7x at 32K context (426->734
+    # GB/s, 90% of HBM peak) — per-tile softmax bookkeeping amortizes;
+    # 4096 adds <1%. Short contexts clamp to S anyway.
+    bs: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
     B, Hq, L, D = q.shape
