@@ -146,3 +146,38 @@ def test_quantized_embedding_gather_matches_dequant_rows():
     expected = jnp.take(dequantize(qt, jnp.float32), ids, axis=0)
     assert got.shape == (2, 3, D)
     assert_allclose(got, expected, jnp.bfloat16)
+
+
+def test_fused_rmsnorm_prologue_matches_separate():
+    """quantized_matmul(norm_weight=...) == rms_norm then matmul (magic_t
+    Pallas path, interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    from tiny_llm_tpu.kernels import quant_matmul as qm
+    from tiny_llm_tpu.kernels.quant_matmul import quantized_matmul
+    from tiny_llm_tpu.ops.norm import rms_norm
+    from tiny_llm_tpu.ops.quantize import quantize
+
+    key = jax.random.key(7)
+    w = jax.random.normal(key, (256, 512), jnp.float32) * 0.05
+    qt = quantize(w)  # magic_t default
+    assert qt.layout == "magic_t"
+    nw = jax.random.normal(jax.random.fold_in(key, 1), (512,), jnp.float32) * 0.1 + 1.0
+    nw = nw.astype(jnp.bfloat16)
+    prev = qm.FUSE_NORM_ENABLED
+    qm.FUSE_NORM_ENABLED = True  # exercise the kernel prologue path
+    try:
+        for M in (1, 4, 130):  # decode-fused + prefill (pre-normalized) paths
+            x = jax.random.normal(jax.random.fold_in(key, M), (M, 512), jnp.bfloat16)
+            ref = quantized_matmul(rms_norm(x, nw, 1e-6), qt, impl="xla")
+            out = quantized_matmul(
+                x, qt, impl="pallas", norm_weight=nw, eps=1e-6, interpret=True
+            )
+            assert out.shape == ref.shape
+            import numpy as np
+
+            a = np.asarray(out, np.float32)
+            b = np.asarray(ref, np.float32)
+            assert np.max(np.abs(a - b)) < 0.15, np.max(np.abs(a - b))
+    finally:
+        qm.FUSE_NORM_ENABLED = prev

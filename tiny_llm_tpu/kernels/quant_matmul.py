@@ -32,6 +32,15 @@ from .dispatch import resolve
 # wrapper falls back to XLA (Qwen3 family max is down_proj K=9728->10240).
 MAX_RESIDENT_K = 32 * 1024
 
+# Fused-RMSNorm kernel prologue toggle. Measured OFF as the default: on
+# the v5e the in-kernel normalize costs 8% of the decode device ceiling
+# (279 -> 260 tok/s, reproducible A/B) — inside one compiled step program
+# XLA's standalone rms_norm is a free fused VPU pass, while the kernel
+# prologue's first-step normalize + scratch disturb the weight-stream
+# pipelining. Kept as a measurement hook; `norm_weight` semantics are
+# identical either way (the wrapper pre-normalizes when this is False).
+FUSE_NORM_ENABLED = False
+
 
 def _quantized_matmul_xla(
     x: jax.Array, qt: QuantizedTensor, bias: jax.Array | None
@@ -124,7 +133,8 @@ def _block_sizes(M: int, N: int, K: int):
 
 
 def _magic_kernel(
-    x_ref, w_ref, s_ref, b_ref, out_ref, stage_ref, acc_ref, *, group_size
+    x_ref, w_ref, s_ref, b_ref, out_ref, stage_ref, acc_ref, *, group_size,
+    nw_ref=None, xn_ref=None, true_k: int = 0, eps: float = 1e-6,
 ):
     """acc[bm, bn] += x[bm, K] @ magic-dequant(w[K/8, bn]) — transposed layout.
 
@@ -145,6 +155,31 @@ def _magic_kernel(
     mask = jnp.uint32(0x000F000F)
     magic = jnp.uint32(0x43004300)
 
+    if nw_ref is None:
+        def load_x(lo, hi):
+            return x_ref[:, lo:hi]
+    else:
+        # Fused RMSNorm prologue (decode path only, single m-tile): at the
+        # FIRST grid step, stage xn = x * rsqrt(mean_K(x^2) + eps) * nw
+        # into VMEM scratch; later n-blocks read staged bf16 slices at the
+        # same cost as the raw x reads. This removes the separate
+        # pointwise kernel launch and the HBM round trip of the normalized
+        # activations (cf. the reference's standalone week2_rms_norm
+        # dispatch, week2_kernels.cpp:104-125) without adding per-step VPU
+        # work that would serialize with the MXU dots.
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            xf = x_ref[:].astype(jnp.float32)
+            rs = jax.lax.rsqrt(
+                jnp.sum(xf * xf, axis=1, keepdims=True) / true_k + eps
+            )  # [bm, 1]; zero K-padding contributes nothing to the sum
+            xn_ref[:] = (xf * rs * nw_ref[0:1, :].astype(jnp.float32)).astype(
+                jnp.bfloat16
+            )
+
+        def load_x(lo, hi):
+            return xn_ref[:, lo:hi]
+
     acc_ref[:] = jnp.zeros_like(acc_ref)
     for sg in range(num_sg):
         words = w_ref[sg * half : (sg + 1) * half, :]
@@ -155,7 +190,7 @@ def _magic_kernel(
                 g = sg * 4 + j  # nibble-pair plane j IS quant group g
                 t = ((words >> (4 * j)) & mask) | magic
                 v = pltpu.bitcast(t, jnp.bfloat16)  # [gs, bn] = 128 + q
-                xg = x_ref[:, g * gs : (g + 1) * gs]
+                xg = load_x(g * gs, (g + 1) * gs)
                 d = jax.lax.dot_general(
                     xg,
                     v,
@@ -180,7 +215,7 @@ def _magic_kernel(
                 # q*s keeps the oracle's rounding (staging (128+q)*s would
                 # drown q*s in the 128*s term's mantissa).
                 stage_ref[j * gs : (j + 1) * gs, :] = (v - 128.0) * s
-            x_sg = x_ref[:, sg * 4 * gs : (sg + 1) * 4 * gs]
+            x_sg = load_x(sg * 4 * gs, (sg + 1) * 4 * gs)
             acc_ref[:] += jax.lax.dot_general(
                 x_sg,
                 stage_ref[:],
@@ -190,7 +225,7 @@ def _magic_kernel(
             # Bias term per group: (sum x_g) * b, f32 outer adds.
             for j in range(4):
                 g = sg * 4 + j
-                xg = x_ref[:, g * gs : (g + 1) * gs]
+                xg = x_sg[:, j * gs : (j + 1) * gs]
                 xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
                 acc_ref[:] += xs * b_ref[g : g + 1, :]
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
@@ -230,14 +265,20 @@ def _magic_block_sizes(M: int, N: int, Kp: int) -> tuple[int, int]:
     return bm, min(bn, max(256, N))
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "bits", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "bits", "true_k", "eps", "interpret"),
+)
 def _qmm_magic_pallas(
     x_pad: jax.Array,  # [M, k_padded] bf16
     packed_t: jax.Array,  # [k_padded // 8, N] uint32 (magic_t layout)
     scales_t: jax.Array,  # [G, N] f32
     biases_t: jax.Array,  # [G, N] f32
-    group_size: int,
-    bits: int,
+    nw: jax.Array | None = None,  # [1, k_padded] — fused-RMSNorm weight
+    group_size: int = 128,
+    bits: int = 4,
+    true_k: int = 0,
+    eps: float = 1e-6,
     interpret: bool = False,
 ) -> jax.Array:
     assert bits == 4
@@ -246,6 +287,9 @@ def _qmm_magic_pallas(
     G = scales_t.shape[0]
     bm, bn = _magic_block_sizes(M, N, Kp)
     staged = bm >= 128  # prefill: one 512-deep dot per supergroup
+    assert nw is None or not staged, (
+        "fused norm is decode-path only (wrapper pre-normalizes at prefill)"
+    )
     if staged:
         # m OUTER: the x block (large at prefill) loads once per m-block;
         # the weights re-stream per m-block but overlap MXU compute.
@@ -255,23 +299,39 @@ def _qmm_magic_pallas(
         o_map = lambda m, n: (m, n)
         kernel = functools.partial(_magic_kernel, group_size=group_size)
         stage_scratch = [pltpu.VMEM((4 * group_size, bn), jnp.bfloat16)]
+        norm_scratch = []
     else:
         # n OUTER: decode x is tiny; the weight block is the stream.
         grid = (pl.cdiv(N, bn), pl.cdiv(M, bm))
         x_map = lambda n, m: (m, 0)
         w_map = lambda n, m: (0, n)
         o_map = lambda n, m: (m, n)
-        kernel = functools.partial(
-            lambda x, w, s, b, o, acc, **kw: _magic_kernel(
-                x, w, s, b, o, None, acc, **kw
-            ),
-            group_size=group_size,
-        )
+        if nw is None:
+            kernel = functools.partial(
+                lambda x, w, s, b, o, acc, **kw: _magic_kernel(
+                    x, w, s, b, o, None, acc, **kw
+                ),
+                group_size=group_size,
+            )
+            norm_scratch = []
+        else:
+            kernel = functools.partial(
+                lambda nwr, x, w, s, b, o, acc, xn, **kw: _magic_kernel(
+                    x, w, s, b, o, None, acc, nw_ref=nwr, xn_ref=xn, **kw
+                ),
+                group_size=group_size,
+                true_k=true_k,
+                eps=eps,
+            )
+            norm_scratch = [pltpu.VMEM((bm, Kp), jnp.bfloat16)]
         stage_scratch = []
+    nw_spec = [pl.BlockSpec((1, Kp), lambda *a: (0, 0))] if nw is not None else []
+    nw_args = (nw.reshape(1, Kp),) if nw is not None else ()
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
+        in_specs=nw_spec
+        + [
             pl.BlockSpec((bm, Kp), x_map),
             pl.BlockSpec((Kp // 8, bn), w_map),
             pl.BlockSpec((G, bn), w_map),
@@ -279,14 +339,16 @@ def _qmm_magic_pallas(
         ],
         out_specs=pl.BlockSpec((bm, bn), o_map),
         out_shape=jax.ShapeDtypeStruct((M, N), x_pad.dtype),
-        scratch_shapes=stage_scratch + [pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=stage_scratch
+        + [pltpu.VMEM((bm, bn), jnp.float32)]
+        + norm_scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * Kp,
             bytes_accessed=M * Kp * 2 + packed_t.size * 4 + scales_t.size * 8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_pad, packed_t, scales_t, biases_t)
+    )(*nw_args, x_pad, packed_t, scales_t, biases_t)
 
 
 @functools.partial(
@@ -338,15 +400,40 @@ def quantized_matmul(
     qt: QuantizedTensor,
     bias: jax.Array | None = None,
     impl: str | None = None,
+    norm_weight: jax.Array | None = None,
+    eps: float = 1e-6,
     interpret: bool = False,
 ) -> jax.Array:
-    """y = x @ dequant(qt).T (+ bias). x: [..., in_features]."""
+    """y = x @ dequant(qt).T (+ bias). x: [..., in_features].
+
+    When `norm_weight` is given, x is RMS-normalized first
+    (y = rms_norm(x, norm_weight, eps) @ W.T) — fused into the Pallas
+    kernel prologue on the magic_t path, applied as a separate XLA op
+    otherwise. Numerics match ops/norm.rms_norm (f32 statistics)."""
     assert x.shape[-1] == qt.in_features, (
         f"x K={x.shape[-1]} vs weight K={qt.in_features}"
     )
     use = resolve(impl)
     if use == "pallas" and (qt.k_padded > MAX_RESIDENT_K or qt.packed.ndim != 2):
         use = "xla"
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    # Fuse only on the decode (non-staged) kernel path: the staged prefill
+    # kernel re-reads x per supergroup and an in-kernel normalize there
+    # serializes with the MXU (measured -14% prefill); XLA's standalone
+    # norm amortizes fine over >=128 rows.
+    fuse_norm = (
+        FUSE_NORM_ENABLED
+        and norm_weight is not None
+        and use == "pallas"
+        and qt.layout == "magic_t"
+        and rows <= 32
+    )
+    if norm_weight is not None and not fuse_norm:
+        from ..ops.norm import rms_norm
+
+        x = rms_norm(x, norm_weight, eps)
     if use == "xla":
         return _quantized_matmul_xla(x, qt, bias)
     *lead, K = x.shape
@@ -354,13 +441,23 @@ def quantized_matmul(
     if qt.k_padded != K:
         x2 = jnp.pad(x2, ((0, 0), (0, qt.k_padded - K)))
     if qt.layout == "magic_t":
+        nw = None
+        if fuse_norm:
+            nw = norm_weight.reshape(1, K).astype(jnp.bfloat16)
+            if qt.k_padded != K:
+                nw = jnp.pad(nw, ((0, 0), (0, qt.k_padded - K)))
+            # The fused prologue consumes the PRE-norm x in f32; the bf16
+            # cast of x2 above matches the unfused path's input dtype.
         out = _qmm_magic_pallas(
             x2,
             qt.packed,
             qt.scales,
             qt.biases,
+            nw=nw,
             group_size=qt.group_size,
             bits=qt.bits,
+            true_k=K,
+            eps=float(eps),
             interpret=interpret,
         )
     else:

@@ -180,20 +180,37 @@ def _lm_head(params: Qwen3Params, h: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _norm_linear(
+    x: jax.Array, w, norm_w: jax.Array | None, eps: float
+) -> jax.Array:
+    """rms_norm(x) @ w.T — the norm rides the quantized kernel's fused
+    prologue when possible (one launch, no HBM round trip of the normed
+    activations; cf. the reference's separate week2_rms_norm dispatch)."""
+    if norm_w is None:
+        return _linear(x, w)
+    if isinstance(w, QuantizedTensor):
+        return quantized_linear(x, w, norm_weight=norm_w, eps=eps)
+    return _linear(rms_norm(x, norm_w, eps), w)
+
+
 def _qkv(
     cfg: Qwen3Config,
     p: AttentionParams,
     x: jax.Array,
     positions: jax.Array,
     rope_tabs: tuple[jax.Array, jax.Array],
+    norm_w: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Projections + QK-RMSNorm + RoPE -> q [B,Hq,L,D], k/v [B,Hkv,L,D]."""
+    """[pre-norm +] projections + QK-RMSNorm + RoPE -> q [B,Hq,L,D],
+    k/v [B,Hkv,L,D]. When norm_w is given, x is the RAW residual stream
+    and the input layernorm fuses into the (quantized) projection."""
     B, L, _ = x.shape
+    eps = cfg.rms_norm_eps
     cos_t, sin_t = rope_tabs
     if p.wqkv is not None:
         dq = cfg.num_attention_heads * cfg.head_dim
         dkv = cfg.num_key_value_heads * cfg.head_dim
-        qkv = _linear(x, p.wqkv)
+        qkv = _norm_linear(x, p.wqkv, norm_w, eps)
         q = qkv[..., :dq].reshape(B, L, cfg.num_attention_heads, cfg.head_dim)
         k = qkv[..., dq : dq + dkv].reshape(
             B, L, cfg.num_key_value_heads, cfg.head_dim
@@ -202,6 +219,8 @@ def _qkv(
             B, L, cfg.num_key_value_heads, cfg.head_dim
         )
     else:
+        if norm_w is not None:
+            x = rms_norm(x, norm_w, eps)
         q = _linear(x, p.wq).reshape(B, L, cfg.num_attention_heads, cfg.head_dim)
         k = _linear(x, p.wk).reshape(B, L, cfg.num_key_value_heads, cfg.head_dim)
         v = _linear(x, p.wv).reshape(B, L, cfg.num_key_value_heads, cfg.head_dim)
@@ -216,8 +235,15 @@ def _qkv(
     )
 
 
-def _mlp(cfg: Qwen3Config, p, x: jax.Array) -> jax.Array:
+def _mlp(
+    cfg: Qwen3Config, p, x: jax.Array, norm_w: jax.Array | None = None
+) -> jax.Array:
+    """[pre-norm +] MLP. When norm_w is given, x is the RAW residual and
+    the post-attention layernorm fuses into the (quantized) projection."""
+    eps = cfg.rms_norm_eps
     if isinstance(p, MoEParams):
+        if norm_w is not None:
+            x = rms_norm(x, norm_w, eps)  # router + experts share the norm
         return moe_forward(
             x,
             p.w_router,
@@ -228,9 +254,11 @@ def _mlp(cfg: Qwen3Config, p, x: jax.Array) -> jax.Array:
             norm_topk_prob=cfg.norm_topk_prob,
         )
     if p.w_gate_up is not None:
-        gu = _linear(x, p.w_gate_up)
+        gu = _norm_linear(x, p.w_gate_up, norm_w, eps)
         half = gu.shape[-1] // 2
         return _linear(swiglu(gu[..., :half], gu[..., half:]), p.w_down)
+    if norm_w is not None:
+        x = rms_norm(x, norm_w, eps)
     return _linear(swiglu(_linear(x, p.w_gate), _linear(x, p.w_up)), p.w_down)
 
 
@@ -309,13 +337,14 @@ def forward_full(
     h = _embed(params, tokens)
     scale = cfg.head_dim**-0.5
     for layer in params.layers:
-        r = rms_norm(h, layer.input_layernorm, cfg.rms_norm_eps)
-        q, k, v = _qkv(cfg, layer.attn, r, positions, rope_tabs)
+        q, k, v = _qkv(
+            cfg, layer.attn, h, positions, rope_tabs,
+            norm_w=layer.input_layernorm,
+        )
         attn = flash_attention(q, k, v, scale=scale, mask="causal", impl="xla")
         attn = attn.transpose(0, 2, 1, 3).reshape(B, L, -1)
         h = h + _linear(attn, layer.attn.wo)
-        r = rms_norm(h, layer.post_attention_layernorm, cfg.rms_norm_eps)
-        h = h + _mlp(cfg, layer.mlp, r)
+        h = h + _mlp(cfg, layer.mlp, h, norm_w=layer.post_attention_layernorm)
     h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)
     return _lm_head(params, h)
 
@@ -347,8 +376,10 @@ def forward_step(
     new_keys = keys
     new_values = values
     for i, layer in enumerate(params.layers):
-        r = rms_norm(h, layer.input_layernorm, cfg.rms_norm_eps)
-        q, k, v = _qkv(cfg, layer.attn, r, positions, rope_tabs)
+        q, k, v = _qkv(
+            cfg, layer.attn, h, positions, rope_tabs,
+            norm_w=layer.input_layernorm,
+        )
         # Append at the per-row offset. One batched scatter per layer.
         bidx = jnp.arange(B, dtype=jnp.int32)
         new_keys = _scatter_rows(new_keys, i, bidx, offsets, k)
@@ -360,8 +391,7 @@ def forward_step(
         )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, L, -1)
         h = h + _linear(attn, layer.attn.wo)
-        r = rms_norm(h, layer.post_attention_layernorm, cfg.rms_norm_eps)
-        h = h + _mlp(cfg, layer.mlp, r)
+        h = h + _mlp(cfg, layer.mlp, h, norm_w=layer.post_attention_layernorm)
     if logits_to_keep is not None:
         h = h[:, -logits_to_keep:, :]
     h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)
@@ -407,8 +437,10 @@ def forward_step_paged(
     h = _embed(params, tokens)
     kp, vp = key_pages, value_pages
     for i, layer in enumerate(params.layers):
-        r = rms_norm(h, layer.input_layernorm, cfg.rms_norm_eps)
-        q, k, v = _qkv(cfg, layer.attn, r, positions, rope_tabs)
+        q, k, v = _qkv(
+            cfg, layer.attn, h, positions, rope_tabs,
+            norm_w=layer.input_layernorm,
+        )
         # [B, H, L, D] -> [B, L, H, D] to match scatter index layout.
         kp = kp.at[i, page_idx, :, slot, :].set(k.transpose(0, 2, 1, 3))
         vp = vp.at[i, page_idx, :, slot, :].set(v.transpose(0, 2, 1, 3))
@@ -418,8 +450,7 @@ def forward_step_paged(
         )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, L, -1)
         h = h + _linear(attn, layer.attn.wo)
-        r = rms_norm(h, layer.post_attention_layernorm, cfg.rms_norm_eps)
-        h = h + _mlp(cfg, layer.mlp, r)
+        h = h + _mlp(cfg, layer.mlp, h, norm_w=layer.post_attention_layernorm)
     if logits_to_keep is not None:
         h = h[:, -logits_to_keep:, :]
     h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)

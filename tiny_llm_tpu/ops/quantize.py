@@ -410,10 +410,16 @@ def quantized_linear(
     qt: QuantizedTensor,
     bias: jax.Array | None = None,
     impl: str | None = None,
+    norm_weight: jax.Array | None = None,
+    eps: float = 1e-6,
 ) -> jax.Array:
     """y = x @ dequant(qt).T (+ bias), dispatching to the Pallas
     dequant-fused kernel on TPU (see kernels/quant_matmul.py). Mirrors the
-    reference's matvec-vs-matmul kernel selection (quantize.py:49-90)."""
+    reference's matvec-vs-matmul kernel selection (quantize.py:49-90).
+    `norm_weight` RMS-normalizes x first, fused into the kernel prologue
+    where supported."""
     from ..kernels import quantized_matmul
 
-    return quantized_matmul(x, qt, bias=bias, impl=impl)
+    return quantized_matmul(
+        x, qt, bias=bias, impl=impl, norm_weight=norm_weight, eps=eps
+    )
