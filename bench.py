@@ -38,8 +38,9 @@ def serving_bench(args) -> None:
     cfg = QWEN3_CONFIGS[args.model]
     params = synthetic_quantized_params(cfg, key=0)
     model = Qwen3Model(params, cfg, max_seq_len=args.max_seq, attn_impl=args.impl)
-    pages = (args.max_seq // 128) * (args.batch_size + 2) + 9
-    model.enable_paged_attention(num_pages=pages, page_size=128)
+    ps = args.page_size
+    pages = (args.max_seq // ps) * (args.batch_size + 2) + 9
+    model.enable_paged_attention(num_pages=pages, page_size=ps)
 
     rng = np.random.default_rng(0)
 
@@ -117,6 +118,7 @@ def main() -> None:
     p.add_argument("--requests", type=int, default=16)
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--prefill-step", type=int, default=128)
+    p.add_argument("--page-size", type=int, default=128)
     p.add_argument("--decode-burst", type=int, default=16)
     args = p.parse_args()
 

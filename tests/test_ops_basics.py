@@ -197,3 +197,20 @@ def test_sampler_temperature_flattens():
         t = int(hot(logprobs, jax.random.key(i))[0])
         counts[t] = counts.get(t, 0) + 1
     assert len(counts) == 4  # high temperature visits the whole support
+
+
+def test_axpby_tutorial_kernel():
+    """The "hello Pallas" example op (reference src/extensions axpby):
+    interpret-mode kernel vs the XLA expression, incl. ragged edges."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tiny_llm_tpu.kernels import axpby
+
+    key = jax.random.key(0)
+    for shape in ((8, 128), (300, 1100)):  # aligned + ragged-edge blocks
+        x = jax.random.normal(key, shape, jnp.float32)
+        y = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+        ref = axpby(x, y, alpha=2.5, beta=-0.5, impl="xla")
+        out = axpby(x, y, alpha=2.5, beta=-0.5, impl="pallas", interpret=True)
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

@@ -17,6 +17,7 @@ import functools
 
 import jax
 
+from .axpby import axpby
 from .dispatch import default_impl, set_default_impl
 from .quant_matmul import quantized_matmul
 from .moe_matmul import grouped_quantized_matmul
@@ -24,6 +25,7 @@ from .flash_attention import flash_attention, flash_decode_attention
 from .paged_attention import paged_attention
 
 __all__ = [
+    "axpby",
     "default_impl",
     "set_default_impl",
     "quantized_matmul",
