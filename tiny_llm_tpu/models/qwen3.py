@@ -410,6 +410,7 @@ def forward_step_paged(
     *,
     logits_to_keep: int | None,
     attn_impl: str | None = None,
+    local_attention: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One model step over the paged KV pool (week-3 serving path).
 
@@ -418,7 +419,14 @@ def forward_step_paged(
     donated, so the scatters compile to in-place writes — the aliasing
     trick of the reference's Metal paged_cache_update
     (paged_attention.cpp:44-49) comes for free from XLA buffer donation.
-    """
+
+    `local_attention=True` (valid only when every row's offset is 0, i.e.
+    the chunk IS the whole context) runs causal attention directly on the
+    chunk's local K/V with the dense flash kernel, skipping the per-page
+    KV walk entirely — the pages are still written for later decode. At
+    8K static prefill this is 2.3x (page-tile bookkeeping dominates the
+    paged prefill kernel; the reference's single-page fast path,
+    paged_attention.metal:332-385, attacks the same cost)."""
     from ..kernels import paged_attention
 
     B, L = tokens.shape
@@ -444,10 +452,15 @@ def forward_step_paged(
         # [B, H, L, D] -> [B, L, H, D] to match scatter index layout.
         kp = kp.at[i, page_idx, :, slot, :].set(k.transpose(0, 2, 1, 3))
         vp = vp.at[i, page_idx, :, slot, :].set(v.transpose(0, 2, 1, 3))
-        attn = paged_attention(
-            q, kp[i], vp[i], block_table, lens, scale=scale,
-            mask="causal", impl=attn_impl,
-        )
+        if local_attention:
+            attn = flash_attention(
+                q, k, v, scale=scale, mask="causal", impl=attn_impl
+            )
+        else:
+            attn = paged_attention(
+                q, kp[i], vp[i], block_table, lens, scale=scale,
+                mask="causal", impl=attn_impl,
+            )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, L, -1)
         h = h + _linear(attn, layer.attn.wo)
         h = h + _mlp(cfg, layer.mlp, h, norm_w=layer.post_attention_layernorm)
@@ -602,7 +615,7 @@ class Qwen3Model:
         )
         self._paged_step_jit = jax.jit(
             functools.partial(forward_step_paged, cfg=cfg, attn_impl=attn_impl),
-            static_argnames=("logits_to_keep",),
+            static_argnames=("logits_to_keep", "local_attention"),
             donate_argnames=("key_pages", "value_pages"),
         )
         self._paged_burst_jit = jax.jit(
@@ -841,6 +854,10 @@ class Qwen3Model:
             value_pages=pool.value_pages,
             block_table=jnp.asarray(table_np),
             logits_to_keep=logits_to_keep,
+            # First chunk of a request: the chunk is the whole context, so
+            # attention never needs the page walk (L>1 keeps decode steps
+            # on the paged kernel even at offset 0).
+            local_attention=bool(L > 1 and np.all(offsets_np == 0)),
         )
         pool.update_tensors(kp, vp)
         if isinstance(cache, PagedBatchingKVCache):

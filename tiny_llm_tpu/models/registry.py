@@ -15,6 +15,7 @@ MODEL_SHORTCUTS = {
     "qwen3-1.7b": "Qwen/Qwen3-1.7B",
     "qwen3-4b": "Qwen/Qwen3-4B",
     "qwen3-8b": "Qwen/Qwen3-8B",
+    "qwen3-14b": "Qwen/Qwen3-14B",
     "qwen3-30b-a3b": "Qwen/Qwen3-30B-A3B",
 }
 
@@ -38,6 +39,11 @@ QWEN3_CONFIGS: dict[str, Qwen3Config] = {
     "qwen3-8b": Qwen3Config(
         num_hidden_layers=36, hidden_size=4096, num_attention_heads=32,
         num_key_value_heads=8, head_dim=128, intermediate_size=12288,
+        vocab_size=151936, tie_word_embeddings=False,
+    ),
+    "qwen3-14b": Qwen3Config(
+        num_hidden_layers=40, hidden_size=5120, num_attention_heads=40,
+        num_key_value_heads=8, head_dim=128, intermediate_size=17408,
         vocab_size=151936, tie_word_embeddings=False,
     ),
     "qwen3-30b-a3b": Qwen3Config(
