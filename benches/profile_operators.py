@@ -18,18 +18,38 @@ import jax
 import jax.numpy as jnp
 
 
-def _time_loop(fn, x, iters=30):
+def _timed(fn, x, iters):
     @jax.jit
     def run(x0):
         def body(i, carry):
             s, xx = carry
             y = fn(xx)
-            return (s + y.astype(jnp.float32).sum(), xx * 1.0000001)
+            # Serialize: next input data-depends on this output (XLA may
+            # not reorder or elide any call), with a numerically-inert bump.
+            bump = (y.astype(jnp.float32).sum() * 1e-12).astype(xx.dtype)
+            return (s + jnp.float32(1), xx + bump)
         return jax.lax.fori_loop(0, iters, body, (jnp.float32(0), x0))
-    run(x)[0].block_until_ready()
-    t0 = time.perf_counter()
-    run(x)[0].block_until_ready()
-    return (time.perf_counter() - t0) / iters
+
+    import numpy as np
+
+    float(np.asarray(jax.device_get(run(x)[1].reshape(-1)[0])))  # compile+sync
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(jax.device_get(run(x)[1].reshape(-1)[0])))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _time_loop(fn, x, iters=50):
+    """Per-call seconds by SLOPE over two iteration counts — cancels the
+    relay's ~25 ms dispatch+fetch floor that a single-dispatch timing
+    would smear over every op (the failure mode this profiler had before;
+    cf. PERFORMANCE.md 'Environment characterization'). The 400-iteration
+    span keeps the slope signal well above relay jitter for ops down to
+    a few microseconds."""
+    lo, hi = iters, iters + 400
+    return (_timed(fn, x, hi) - _timed(fn, x, lo)) / (hi - lo)
 
 
 def main() -> None:
@@ -53,20 +73,20 @@ def main() -> None:
 
     families = {}
     # Projections (per layer: q,k,v,o + gate,up,down; plus lm head once).
+    # Fused dispatch counts (models/qwen3.py fuse_projections): per layer
+    # one [q;k;v], one o, one [gate;up], one down; plus the LM head once.
     qts = {
-        "q": quantize(jax.random.normal(key, (Hq * Dh, D)) * 0.02),
-        "kv": quantize(jax.random.normal(key, (Hkv * Dh, D)) * 0.02),
+        "qkv": quantize(jax.random.normal(key, ((Hq + 2 * Hkv) * Dh, D)) * 0.02),
         "o": quantize(jax.random.normal(key, (D, Hq * Dh)) * 0.02),
-        "mlp_in": quantize(jax.random.normal(key, (I, D)) * 0.02),
+        "gate_up": quantize(jax.random.normal(key, (2 * I, D)) * 0.02),
         "mlp_out": quantize(jax.random.normal(key, (D, I)) * 0.02),
         "lm": quantize(jax.random.normal(key, (cfg.vocab_size, D)) * 0.02),
     }
     proj = 0.0
-    proj += _time_loop(lambda xx: quantized_matmul(xx, qts["q"]), x) * L
-    proj += _time_loop(lambda xx: quantized_matmul(xx, qts["kv"]), x) * 2 * L
+    proj += _time_loop(lambda xx: quantized_matmul(xx, qts["qkv"]), x) * L
     xo = jax.random.normal(key, (1, Hq * Dh), jnp.bfloat16)
     proj += _time_loop(lambda xx: quantized_matmul(xx, qts["o"]), xo) * L
-    proj += _time_loop(lambda xx: quantized_matmul(xx, qts["mlp_in"]), x) * 2 * L
+    proj += _time_loop(lambda xx: quantized_matmul(xx, qts["gate_up"]), x) * L
     xi = jax.random.normal(key, (1, I), jnp.bfloat16)
     proj += _time_loop(lambda xx: quantized_matmul(xx, qts["mlp_out"]), xi) * L
     proj += _time_loop(lambda xx: quantized_matmul(xx, qts["lm"]), x)
@@ -94,16 +114,28 @@ def main() -> None:
     cache = model.create_kv_cache()
     import numpy as np
 
+    cache.release()
     prompt = jnp.asarray(np.zeros((1, S), np.int32))
-    model(prompt, 0, cache, logits_to_keep=1)
-    tok = jnp.asarray([[1]], jnp.int32)
-    model(tok, S, cache, logits_to_keep=1)  # compile decode
-    t0 = time.perf_counter()
-    n = 20
-    for i in range(n):
-        model(tok, S + 1 + i, cache, logits_to_keep=1)
-    jax.block_until_ready(model(tok, S + 1 + n, cache, logits_to_keep=1))
-    step = (time.perf_counter() - t0) / n
+    tok0 = np.asarray([1], np.int32)
+    # Device-side step: slope over two burst lengths, fresh cache per
+    # timing, prefill fetch-synced before the timer (the burst scan is
+    # the production decode; the slope cancels the relay round trip).
+    n_lo, n_hi = 16, 128
+
+    def burst(n):
+        c = model.create_kv_cache()
+        logits = model(prompt, 0, c, logits_to_keep=1)
+        np.asarray(jax.device_get(logits[:, -1, :1]))  # sync prefill
+        t0 = time.perf_counter()
+        model.decode_burst_dense(c, tok0, n)  # fetches tokens (synced)
+        dt = time.perf_counter() - t0
+        c.release()
+        return dt
+
+    burst(n_lo), burst(n_hi)  # compile both shapes
+    t_lo = min(burst(n_lo) for _ in range(3))
+    t_hi = min(burst(n_hi) for _ in range(3))
+    step = (t_hi - t_lo) / (n_hi - n_lo)
 
     total_attr = sum(families.values())
     report = {
