@@ -161,8 +161,8 @@ def _gqmm_magic_kernel(
                     preferred_element_type=jnp.float32,
                 )
                 xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-                s = s_ref[0, gq : gq + 1, :]
-                c = b_ref[0, gq : gq + 1, :] - 128.0 * s
+                s = s_ref[0, gq : gq + 1, :].astype(jnp.float32)
+                c = b_ref[0, gq : gq + 1, :].astype(jnp.float32) - 128.0 * s
                 acc_ref[:] += d * s + xs * c
 
     @pl.when((flag >> 2) & 1 == 1)  # last visit: flush the accumulator

@@ -198,8 +198,8 @@ def _magic_kernel(
                     preferred_element_type=jnp.float32,
                 )
                 xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-                s = s_ref[g : g + 1, :]
-                c = b_ref[g : g + 1, :] - 128.0 * s
+                s = s_ref[g : g + 1, :].astype(jnp.float32)
+                c = b_ref[g : g + 1, :].astype(jnp.float32) - 128.0 * s
                 acc_ref[:] += d * s + xs * c
         else:
             # Prefill / large-M: pre-scale the staged tile per group and do
@@ -227,7 +227,7 @@ def _magic_kernel(
                 g = sg * 4 + j
                 xg = x_sg[:, j * gs : (j + 1) * gs]
                 xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-                acc_ref[:] += xs * b_ref[g : g + 1, :]
+                acc_ref[:] += xs * b_ref[g : g + 1, :].astype(jnp.float32)
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
