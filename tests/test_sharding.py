@@ -288,3 +288,82 @@ def test_microbatched_pipeline_matches_single_device(quantized, stages, microbat
     # Stage params are actually sharded over the pp mesh axis.
     leaf = jax.tree.leaves(pp._layers)[0]
     assert len(leaf.sharding.device_set) == stages
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel sharded-KV decode (parallel/sp_attention.py)
+# ---------------------------------------------------------------------------
+
+
+def _sp_setup(S=64, L=1):
+    B, Hq, Hkv, D = 2, 8, 4, 64
+    key = jax.random.key(11)
+    q = jax.random.normal(key, (B, Hq, L, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, Hkv, S, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, Hkv, S, D), jnp.bfloat16)
+    lens = jnp.asarray([S - 3, S // 2 - 1][:B], jnp.int32)
+    return q, k, v, lens
+
+
+@pytest.mark.parametrize("inner", ["xla", "pallas"])
+def test_sp_decode_matches_single_device(inner):
+    """Sharded-KV decode with cross-shard softmax combine == unsharded
+    flash decode, per-row lengths crossing shard boundaries."""
+    from tiny_llm_tpu.kernels.flash_attention import flash_attention
+    from tiny_llm_tpu.parallel import SPAttention
+
+    q, k, v, lens = _sp_setup()
+    ref = flash_attention(q, k, v, mask="causal", lens=lens, impl="xla")
+    scfg = ShardingConfig(make_mesh(dp=1, tp=8))
+    sp = SPAttention(scfg, inner=inner, interpret=True)
+    got = sp.flash(q, k, v, mask="causal", lens=lens)
+    assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        jnp.bfloat16, atol=5e-2,
+    )
+
+
+def test_sp_decode_zero_length_shards():
+    """Rows whose context lives entirely in the first shard: later shards
+    contribute the combine identity (no NaNs)."""
+    from tiny_llm_tpu.kernels.flash_attention import flash_attention
+    from tiny_llm_tpu.parallel import SPAttention
+
+    q, k, v, _ = _sp_setup()
+    lens = jnp.asarray([5, 2], jnp.int32)  # both inside shard 0 (S_loc=8)
+    ref = flash_attention(q, k, v, mask="causal", lens=lens, impl="xla")
+    scfg = ShardingConfig(make_mesh(dp=1, tp=8))
+    got = SPAttention(scfg, inner="xla").flash(q, k, v, mask="causal", lens=lens)
+    arr = np.asarray(got, np.float32)
+    assert np.isfinite(arr).all()
+    assert_allclose(arr, np.asarray(ref, np.float32), jnp.bfloat16, atol=5e-2)
+
+
+def test_sp_prefill_chunk_fallback():
+    from tiny_llm_tpu.kernels.flash_attention import flash_attention
+    from tiny_llm_tpu.parallel import SPAttention
+
+    q, k, v, lens = _sp_setup(L=8)
+    ref = flash_attention(q, k, v, mask="causal", lens=lens, impl="xla")
+    scfg = ShardingConfig(make_mesh(dp=1, tp=8))
+    got = SPAttention(scfg, inner="xla").flash(q, k, v, mask="causal", lens=lens)
+    assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        jnp.bfloat16, atol=5e-2,
+    )
+
+
+def test_flash_decode_state_matches_xla_oracle():
+    from tiny_llm_tpu.kernels.flash_attention_pallas import (
+        flash_decode_state_pallas,
+    )
+    from tiny_llm_tpu.parallel.sp_attention import decode_state_xla
+
+    q, k, v, lens = _sp_setup()
+    scale = q.shape[-1] ** -0.5
+    o1, m1, l1 = flash_decode_state_pallas(q, k, v, lens, scale=scale, interpret=True)
+    o2, m2, l2 = decode_state_xla(q, k, v, lens, scale)
+    assert_allclose(np.asarray(o1, np.float32), np.asarray(o2, np.float32),
+                    jnp.bfloat16, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-2, atol=1e-2)

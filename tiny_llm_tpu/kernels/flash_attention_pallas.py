@@ -183,6 +183,125 @@ def _flash_decode(
     return out.reshape(B, Hq, L, D)
 
 
+def _decode_state_kernel(
+    lens_ref,  # [B] i32 (scalar prefetch)
+    q_ref,  # [1, 1, n_rep, L, D]
+    k_ref,  # [1, 1, BS, D]
+    v_ref,
+    o_ref,  # [1, 1, n_rep, L, D]
+    m_out,  # [1, 1, n_rep, L] f32 — running-max state
+    l_out,  # [1, 1, n_rep, L] f32 — softmax denominator state
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    bs: int,
+    scale: float,
+):
+    """_decode_kernel that ALSO emits the online-softmax state (m, l) per
+    query row — the per-shard half of a cross-shard softmax combine
+    (sequence-parallel KV; the Metal kernels' cross-simdgroup epilogue
+    math, week2_kernels.metal:206-234, lifted to the mesh level). Rows
+    with zero local context emit (o=0, m=-inf, l=0), the identity of the
+    combine."""
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    n_rep, L, D = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
+    R = n_rep * L
+    ctx = lens_ref[b]
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s * bs < ctx)
+    def _():
+        q = q_ref[0, 0].reshape(R, D).astype(jnp.float32) * scale
+        l_idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % L
+        q_pos = ctx - L + l_idx
+        _flash_inner(
+            q, k_ref[0, 0], v_ref[0, 0], q_pos, s * bs, m_ref, l_ref, acc_ref
+        )
+
+    @pl.when(s == pl.num_programs(2) - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:, :1], 1e-30)  # 0-context shards: o = 0
+        o_ref[0, 0] = (acc_ref[:] / denom).reshape(n_rep, L, D).astype(o_ref.dtype)
+        m_out[0, 0] = m_ref[:, :1].reshape(n_rep, L)
+        l_out[0, 0] = l_ref[:, :1].reshape(n_rep, L)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "bs", "interpret")
+)
+def flash_decode_state_pallas(
+    q: jax.Array,  # [B, Hq, L, D]
+    k: jax.Array,  # [B, Hkv, S_local, D]
+    v: jax.Array,
+    lens: jax.Array,  # [B] i32 — LOCAL valid KV length per row
+    scale: float,
+    bs: int = 2048,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Flash decode over a LOCAL KV shard, returning (o, m, l):
+    o [B,Hq,L,D] normalized within the shard, m/l [B,Hq,L] f32 softmax
+    state. Combine across shards with combine_softmax_states()."""
+    B, Hq, L, D = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    n_rep = Hq // Hkv
+    bs = min(bs, S)
+    n_tiles = pl.cdiv(S, bs)
+
+    def q_map(b, h, s, lens_ref):
+        return (b, h, 0, 0, 0)
+
+    def st_map(b, h, s, lens_ref):
+        return (b, h, 0, 0)
+
+    def kv_map(b, h, s, lens_ref):
+        last = jnp.maximum((lens_ref[b] + bs - 1) // bs - 1, 0)
+        return (b, h, jnp.minimum(s, last), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_rep, L, D), q_map),
+            pl.BlockSpec((1, 1, bs, D), kv_map),
+            pl.BlockSpec((1, 1, bs, D), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, n_rep, L, D), q_map),
+            pl.BlockSpec((1, 1, n_rep, L), st_map),
+            pl.BlockSpec((1, 1, n_rep, L), st_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_rep * L, 128), jnp.float32),
+            pltpu.VMEM((n_rep * L, 128), jnp.float32),
+            pltpu.VMEM((n_rep * L, D), jnp.float32),
+        ],
+    )
+    qg = q.reshape(B, Hkv, n_rep, L, D)
+    kernel = functools.partial(_decode_state_kernel, bs=bs, scale=scale)
+    o, m, l = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, n_rep, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, n_rep, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, n_rep, L), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lens.astype(jnp.int32), qg, k, v)
+    return (
+        o.reshape(B, Hq, L, D),
+        m.reshape(B, Hq, L),
+        l.reshape(B, Hq, L),
+    )
+
+
 def _prefill_kernel(
     lens_ref,  # [B] i32
     q_ref,  # [1, 1, BQ, D]

@@ -13,6 +13,7 @@ from .sharding import (
     shard_kv_cache,
     shard_params,
 )
+from .sp_attention import SPAttention, combine_softmax_states
 from .tp_kernels import TPAttention, paged_pool_spec
 from .pipeline import MicrobatchedPipeline, PipelinedQwen3, split_stages
 
@@ -33,6 +34,8 @@ __all__ = [
     "param_shardings",
     "shard_kv_cache",
     "shard_params",
+    "SPAttention",
     "TPAttention",
+    "combine_softmax_states",
     "paged_pool_spec",
 ]
