@@ -165,8 +165,8 @@ def synthetic_quantized_params(
             scales = (
                 jax.random.uniform(nxt(), (*lead, k_padded // group_size, N)) * 0.004
                 + 0.001
-            ).astype(jnp.float32)
-            biases = -7.5 * scales
+            ).astype(jnp.bfloat16)
+            biases = (-7.5 * scales.astype(jnp.float32)).astype(jnp.bfloat16)
         else:
             packed = jax.random.bits(
                 nxt(), (*lead, N, k_padded // vpw), dtype=jnp.uint32
@@ -263,6 +263,70 @@ def tiny_test_config(num_hidden_layers: int = 1, **overrides) -> Qwen3Config:
 # ---------------------------------------------------------------------------
 
 
+def _load_moe_mlp(t, p, cfg, quantized, group_size, bits):
+    """MoE layer from either checkpoint convention:
+
+    * MLX switch_mlp export (reference qwen3_week3.py:258-272): stacked
+      `{p}.mlp.switch_mlp.{gate,up,down}_proj` tensors [E, N, K(/8)], plus
+      `{p}.mlp.gate` router.
+    * HF transformers: per-expert `{p}.mlp.experts.{e}.{name}.weight`.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.quantize import from_mlx_packing, from_mlx_packing_stacked
+
+    E = cfg.num_experts
+
+    def router():
+        prefix = f"{p}.mlp.gate"
+        if f"{prefix}.scales" in t:
+            return from_mlx_packing(
+                jnp.asarray(t[f"{prefix}.weight"]),
+                jnp.asarray(t[f"{prefix}.scales"]),
+                jnp.asarray(t[f"{prefix}.biases"]),
+                group_size,
+                bits,
+            )
+        w = jnp.asarray(np.asarray(t[f"{prefix}.weight"]).astype(np.float32))
+        # Router stays dense: E x D is tiny and routing logits are
+        # precision-sensitive (argpartition boundaries).
+        return w.astype(jnp.bfloat16)
+
+    sw = f"{p}.mlp.switch_mlp"
+
+    def stacked(name: str):
+        key = f"{sw}.{name}.weight"
+        if key in t:
+            if f"{sw}.{name}.scales" in t:
+                return from_mlx_packing_stacked(
+                    jnp.asarray(t[key]),
+                    jnp.asarray(t[f"{sw}.{name}.scales"]),
+                    jnp.asarray(t[f"{sw}.{name}.biases"]),
+                    group_size,
+                    bits,
+                )
+            w = jnp.asarray(np.asarray(t[key]).astype(np.float32))
+        else:  # HF per-expert tensors
+            w = jnp.asarray(
+                np.stack(
+                    [
+                        np.asarray(t[f"{p}.mlp.experts.{e}.{name}.weight"]).astype(
+                            np.float32
+                        )
+                        for e in range(E)
+                    ]
+                )
+            )
+        return _maybe_quantize(w, quantized, group_size, bits)
+
+    return MoEParams(
+        w_router=router(),
+        w_gate=stacked("gate_proj"),
+        w_up=stacked("up_proj"),
+        w_down=stacked("down_proj"),
+    )
+
+
 def load_config(model_dir: str) -> Qwen3Config:
     with open(os.path.join(model_dir, "config.json")) as f:
         return Qwen3Config.from_hf_dict(json.load(f))
@@ -324,14 +388,13 @@ def load_params(
             k_norm=get_array(f"{p}.self_attn.k_norm.weight"),
         )
         if cfg.is_moe_layer(i):
-            raise NotImplementedError(
-                "HF MoE checkpoint loading lands with the 30B-A3B config"
+            mlp = _load_moe_mlp(t, p, cfg, quantized, group_size, bits)
+        else:
+            mlp = MLPParams(
+                w_gate=get_linear(f"{p}.mlp.gate_proj"),
+                w_up=get_linear(f"{p}.mlp.up_proj"),
+                w_down=get_linear(f"{p}.mlp.down_proj"),
             )
-        mlp = MLPParams(
-            w_gate=get_linear(f"{p}.mlp.gate_proj"),
-            w_up=get_linear(f"{p}.mlp.up_proj"),
-            w_down=get_linear(f"{p}.mlp.down_proj"),
-        )
         layers.append(
             BlockParams(
                 input_layernorm=get_array(f"{p}.input_layernorm.weight"),

@@ -260,6 +260,50 @@ def from_mlx_packing(
     return _from_values(vals, scales, biases, group_size, bits, K, layout=layout)
 
 
+def from_mlx_packing_stacked(
+    mlx_weight: jax.Array,  # [E, N, K/vpw] uint32 (MLX switch_mlp export)
+    scales: jax.Array,  # [E, N, G]
+    biases: jax.Array,
+    group_size: int,
+    bits: int,
+    layout: str | None = None,
+) -> QuantizedTensor:
+    """Ingest an MLX-packed STACKED expert tensor (switch_mlp layout,
+    reference qwen3_week3.py:258-272) into the TPU stacked layout —
+    flatten experts into rows (quant groups are per output row, so this
+    is exact), ingest, restack with E leading."""
+    vpw = _values_per_word(bits)
+    E, N = mlx_weight.shape[0], mlx_weight.shape[1]
+    K = mlx_weight.shape[-1] * vpw
+    flat = from_mlx_packing(
+        mlx_weight.reshape(E * N, K // vpw),
+        scales.reshape(E * N, -1),
+        biases.reshape(E * N, -1),
+        group_size,
+        bits,
+        layout=layout,
+    )
+    if flat.layout == "magic_t":
+        packed = flat.packed.reshape(-1, E, N).transpose(1, 0, 2)
+        qs = flat.scales.reshape(-1, E, N).transpose(1, 0, 2)
+        qb = flat.biases.reshape(-1, E, N).transpose(1, 0, 2)
+    else:
+        packed = flat.packed.reshape(E, N, -1)
+        qs = flat.scales.reshape(E, N, -1)
+        qb = flat.biases.reshape(E, N, -1)
+    return QuantizedTensor(
+        packed=packed,
+        scales=qs,
+        biases=qb,
+        group_size=flat.group_size,
+        bits=flat.bits,
+        out_features=N,
+        in_features=K,
+        k_padded=flat.k_padded,
+        layout=flat.layout,
+    )
+
+
 def quantize_stacked(
     w: jax.Array,  # [E, N, K] stacked expert weights
     group_size: int = 128,
