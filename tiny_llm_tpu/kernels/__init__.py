@@ -23,6 +23,7 @@ from .quant_matmul import quantized_matmul
 from .moe_matmul import grouped_quantized_matmul
 from .flash_attention import flash_attention, flash_decode_attention
 from .paged_attention import paged_attention
+from .split_prefill import combine_state_pair, split_paged_prefill
 
 __all__ = [
     "axpby",
@@ -33,4 +34,6 @@ __all__ = [
     "flash_attention",
     "flash_decode_attention",
     "paged_attention",
+    "combine_state_pair",
+    "split_paged_prefill",
 ]

@@ -56,7 +56,11 @@ def _flash_inner(
     m_cur = jnp.max(s, axis=1, keepdims=True)  # [R, 1]
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)  # [R, 1]
-    p = jnp.exp(s - m_new)  # [R, BS]
+    # Floor the subtrahend so a fully-masked row (m_new == NEG_INF, every
+    # s == NEG_INF) underflows to p == 0 instead of exp(0) == 1 — such
+    # rows arise in sequence-parallel prefill when a query tile precedes
+    # the KV shard entirely; they must emit the identity state (l == 0).
+    p = jnp.exp(s - jnp.maximum(m_new, NEG_INF / 2))  # [R, BS]
     l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(jnp.bfloat16),
@@ -414,6 +418,142 @@ def _flash_prefill(
         interpret=interpret,
     )(lens.astype(jnp.int32), q, k, v)
     return out
+
+
+def _prefill_state_kernel(
+    lens_ref,  # [B] i32
+    q_ref,  # [1, 1, BQ, D]
+    k_ref,  # [1, 1, BS, D]
+    v_ref,
+    o_ref,  # [1, 1, BQ, D]
+    m_out,  # [1, 1, 1, BQ] f32 (unit dim: TPU block-shape alignment)
+    l_out,  # [1, 1, 1, BQ] f32
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    bq: int,
+    bs: int,
+    L: int,
+    scale: float,
+    causal: bool,
+):
+    """_prefill_kernel that ALSO emits per-row online-softmax state (m, l)
+    — the chunk-local half of a split (prefix ⊕ chunk) attention, or the
+    per-shard half of a sequence-parallel prefill combine. Rows with no
+    visible key emit the combine identity (o=0, m=NEG_INF, l=0)."""
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    s = pl.program_id(3)
+    BQ, D = q_ref.shape[2], q_ref.shape[3]
+    ctx = lens_ref[b]
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+    q_pos = ctx - L + row
+    if causal:
+        tile_max_pos = ctx - L + (iq + 1) * bq - 1
+    else:
+        q_pos = jnp.broadcast_to(ctx - 1, (BQ, 1))
+        tile_max_pos = ctx - 1
+    live = s * bs <= jnp.minimum(tile_max_pos, ctx - 1)
+
+    @pl.when(live)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        _flash_inner(
+            q, k_ref[0, 0], v_ref[0, 0], q_pos, s * bs, m_ref, l_ref, acc_ref
+        )
+
+    @pl.when(s == pl.num_programs(3) - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        m_out[0, 0, 0] = m_ref[:, 0]
+        l_out[0, 0, 0] = l_ref[:, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "causal", "bq", "bs", "interpret")
+)
+def flash_prefill_state_pallas(
+    q: jax.Array,  # [B, Hq, L, D]
+    k: jax.Array,  # [B, Hkv, S, D]
+    v: jax.Array,
+    lens: jax.Array,  # [B] i32 — valid KV length per row
+    scale: float,
+    causal: bool = True,
+    bq: int = 1024,
+    bs: int = 1024,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Flash prefill returning (o, m, l): o [B,Hq,L,D] locally normalized,
+    m/l [B,Hq,L] f32 softmax state. Combine partial contexts with
+    combine_state_pair() (kernels/split_prefill.py) or across mesh shards
+    with parallel.sp_attention.combine_softmax_states()."""
+    B, Hq, L, D = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    n_rep = Hq // Hkv
+    bq = min(bq, L)
+    bs = min(bs, S)
+    nq = pl.cdiv(L, bq)
+    ns = pl.cdiv(S, bs)
+
+    def q_map(b, h, iq, s, lens_ref):
+        return (b, h, iq, 0)
+
+    def st_map(b, h, iq, s, lens_ref):
+        return (b, h, 0, iq)
+
+    def kv_map(b, h, iq, s, lens_ref):
+        last = jnp.maximum((lens_ref[b] + bs - 1) // bs - 1, 0)
+        return (b, h // n_rep, jnp.minimum(s, last), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hq, nq, ns),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), q_map),
+            pl.BlockSpec((1, 1, bs, D), kv_map),
+            pl.BlockSpec((1, 1, bs, D), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, D), q_map),
+            pl.BlockSpec((1, 1, 1, bq), st_map),
+            pl.BlockSpec((1, 1, 1, bq), st_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_state_kernel, bq=bq, bs=bs, L=L, scale=scale, causal=causal
+    )
+    # States carry a unit axis ([B, Hq, 1, L]) so the block's last two
+    # dims are (1, bq) — TPU-alignable for any head count.
+    o, m, l = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hq, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, 1, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, 1, L), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * L * S * D,
+            bytes_accessed=2 * B * Hkv * S * D * 2 + 2 * B * Hq * L * D * 2,
+            transcendentals=B * Hq * L * S,
+        ),
+        interpret=interpret,
+    )(lens.astype(jnp.int32), q, k, v)
+    return o, m.reshape(B, Hq, L), l.reshape(B, Hq, L)
 
 
 # ---------------------------------------------------------------------------

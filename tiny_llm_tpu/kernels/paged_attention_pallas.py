@@ -242,6 +242,139 @@ def paged_flash_prefill(
     return out
 
 
+def _paged_prefix_state_kernel(
+    bt_ref,
+    lens_ref,  # [B] i32 — PREFIX length (tokens before the chunk)
+    q_ref,  # [1, 1, BQ, D]
+    k_ref,  # [1, 1, ps, D]
+    v_ref,
+    o_ref,  # [1, 1, BQ, D]
+    m_out,  # [1, 1, 1, BQ] f32 (unit dim: TPU block-shape alignment)
+    l_out,  # [1, 1, 1, BQ] f32
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    ps: int,
+    scale: float,
+):
+    """Non-causal attention of a chunk's queries over its PREFIX pages,
+    emitting online-softmax state per query row.
+
+    Every chunk query comes after the whole prefix, so all prefix keys are
+    visible to all rows — no causal clamp; the mask `k_pos < prefix_len`
+    only excludes chunk tokens already written into the prefix's tail page
+    (offsets need not be page-aligned). Rows with prefix_len == 0 emit the
+    combine identity (o=0, m=NEG_INF, l=0). Combine with the chunk-local
+    causal state via combine_state_pair() — the split that replaces the
+    reference prefill kernel's per-key page walk over the chunk's own
+    tokens (paged_attention.metal:332-385 single-page fast path attacks
+    the same cost)."""
+    b = pl.program_id(0)
+    i = pl.program_id(3)
+    BQ, D = q_ref.shape[2], q_ref.shape[3]
+    ctx = lens_ref[b]
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_pos = jnp.broadcast_to(ctx - 1, (BQ, 1))
+
+    @pl.when(i * ps < ctx)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        _flash_inner(q, k_ref[0, 0], v_ref[0, 0], q_pos, i * ps, m_ref, l_ref, acc_ref)
+
+    @pl.when(i == pl.num_programs(3) - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        m_out[0, 0, 0] = m_ref[:, 0]
+        l_out[0, 0, 0] = l_ref[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "bq", "interpret"))
+def paged_prefix_state(
+    q: jax.Array,  # [B, Hq, L, D] — one prefill chunk's queries
+    key_pages: jax.Array,  # [P, Hkv, ps, D]
+    value_pages: jax.Array,
+    block_table: jax.Array,  # [B, maxp] i32, -1 padded
+    prefix_lens: jax.Array,  # [B] i32 — tokens BEFORE the chunk
+    scale: float,
+    # No causal clamp -> no wasted work from big q tiles; bq=2048 keeps
+    # whole serving chunks resident so each prefix page is DMA'd once
+    # per (b, h). VMEM at bq=2048, D=128: q 0.5 + acc 1 + m/l 2 MiB.
+    bq: int = 2048,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(o, m, l) of chunk queries attending non-causally to prefix pages."""
+    B, Hq, L, D = q.shape
+    P, Hkv, ps, _ = key_pages.shape
+    n_rep = Hq // Hkv
+    maxp = block_table.shape[1]
+    bq = min(bq, L)
+    nq = pl.cdiv(L, bq)
+
+    def q_map(b, h, iq, i, bt_ref, lens_ref):
+        return (b, h, iq, 0)
+
+    def st_map(b, h, iq, i, bt_ref, lens_ref):
+        return (b, h, 0, iq)
+
+    def kv_map(b, h, iq, i, bt_ref, lens_ref):
+        last = jnp.maximum((lens_ref[b] + ps - 1) // ps - 1, 0)
+        page = bt_ref[b, jnp.minimum(i, last)]
+        return (jnp.maximum(page, 0), h // n_rep, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hq, nq, maxp),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), q_map),
+            pl.BlockSpec((1, 1, ps, D), kv_map),
+            pl.BlockSpec((1, 1, ps, D), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, D), q_map),
+            pl.BlockSpec((1, 1, 1, bq), st_map),
+            pl.BlockSpec((1, 1, 1, bq), st_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_paged_prefix_state_kernel, ps=ps, scale=scale)
+    # States carry a unit axis ([B, Hq, 1, L]) so the block's last two
+    # dims are (1, bq) — TPU-alignable for any head count.
+    o, m, l = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hq, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, 1, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, 1, L), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * L * maxp * ps * D,
+            bytes_accessed=2 * B * Hkv * maxp * ps * D * 2 + 2 * B * Hq * L * D * 2,
+            transcendentals=B * Hq * L * maxp * ps,
+        ),
+        interpret=interpret,
+    )(
+        block_table.astype(jnp.int32),
+        prefix_lens.astype(jnp.int32),
+        q,
+        key_pages,
+        value_pages,
+    )
+    return o, m.reshape(B, Hq, L), l.reshape(B, Hq, L)
+
+
 def paged_attention_pallas(
     q, key_pages, value_pages, block_table, context_lens,
     scale=None, mask="causal", interpret: bool = False,

@@ -411,6 +411,7 @@ def forward_step_paged(
     logits_to_keep: int | None,
     attn_impl: str | None = None,
     local_attention: bool = False,
+    split_attention: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One model step over the paged KV pool (week-3 serving path).
 
@@ -426,8 +427,16 @@ def forward_step_paged(
     KV walk entirely — the pages are still written for later decode. At
     8K static prefill this is 2.3x (page-tile bookkeeping dominates the
     paged prefill kernel; the reference's single-page fast path,
-    paged_attention.metal:332-385, attacks the same cost)."""
+    paged_attention.metal:332-385, attacks the same cost).
+
+    `split_attention=True` generalizes that to offset > 0 chunks: the
+    chunk's causal self-attention runs on its local K/V at dense-kernel
+    tiles, the prefix contribution streams pages WITHOUT causal
+    bookkeeping, and the two merge with an exact online-softmax state
+    combine (kernels/split_prefill.py). Valid for any per-row offsets —
+    offset-0 rows contribute an identity prefix state."""
     from ..kernels import paged_attention
+    from ..kernels.split_prefill import split_paged_prefill
 
     B, L = tokens.shape
     ps = key_pages.shape[3]
@@ -455,6 +464,11 @@ def forward_step_paged(
         if local_attention:
             attn = flash_attention(
                 q, k, v, scale=scale, mask="causal", impl=attn_impl
+            )
+        elif split_attention:
+            attn = split_paged_prefill(
+                q, k, v, kp[i], vp[i], block_table, offsets,
+                scale=scale, impl=attn_impl if isinstance(attn_impl, str) else None,
             )
         else:
             attn = paged_attention(
@@ -615,9 +629,14 @@ class Qwen3Model:
         )
         self._paged_step_jit = jax.jit(
             functools.partial(forward_step_paged, cfg=cfg, attn_impl=attn_impl),
-            static_argnames=("logits_to_keep", "local_attention"),
+            static_argnames=("logits_to_keep", "local_attention", "split_attention"),
             donate_argnames=("key_pages", "value_pages"),
         )
+        # Split-attention chunked prefill (offset>0 chunks): exact, ~2x at
+        # serving chunk shapes (prefix pages stream without causal
+        # bookkeeping; chunk self-attention runs at dense tiles). Strategy
+        # attn_impl objects (TP/SP) keep the plain paged path.
+        self.split_prefill = isinstance(attn_impl, (str, type(None)))
         self._paged_burst_jit = jax.jit(
             functools.partial(
                 forward_decode_burst_paged, cfg=cfg, attn_impl=attn_impl
@@ -856,8 +875,14 @@ class Qwen3Model:
             logits_to_keep=logits_to_keep,
             # First chunk of a request: the chunk is the whole context, so
             # attention never needs the page walk (L>1 keeps decode steps
-            # on the paged kernel even at offset 0).
+            # on the paged kernel even at offset 0). Later chunks split
+            # into chunk-local causal + non-causal prefix page stream
+            # (exact softmax-state combine); short query blocks stay on
+            # the paged decode kernel, which already streams efficiently.
             local_attention=bool(L > 1 and np.all(offsets_np == 0)),
+            split_attention=bool(
+                self.split_prefill and L > 16 and np.any(offsets_np > 0)
+            ),
         )
         pool.update_tensors(kp, vp)
         if isinstance(cache, PagedBatchingKVCache):
