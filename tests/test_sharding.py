@@ -339,18 +339,46 @@ def test_sp_decode_zero_length_shards():
     assert_allclose(arr, np.asarray(ref, np.float32), jnp.bfloat16, atol=5e-2)
 
 
-def test_sp_prefill_chunk_fallback():
+@pytest.mark.parametrize("inner", ["xla", "pallas", "gather"])
+def test_sp_prefill_chunk_matches_single_device(inner):
+    """Sharded prefill (state combine per KV shard with virtual lengths;
+    'gather' = legacy all-gather path) == unsharded causal flash. The
+    chunk spans shard boundaries: row 0's queries live in shards 6-7
+    (earlier shards contribute non-causal full-visibility states), row
+    1's in shards 3-4."""
     from tiny_llm_tpu.kernels.flash_attention import flash_attention
     from tiny_llm_tpu.parallel import SPAttention
 
     q, k, v, lens = _sp_setup(L=8)
     ref = flash_attention(q, k, v, mask="causal", lens=lens, impl="xla")
     scfg = ShardingConfig(make_mesh(dp=1, tp=8))
-    got = SPAttention(scfg, inner="xla").flash(q, k, v, mask="causal", lens=lens)
+    got = SPAttention(scfg, inner=inner, interpret=True).flash(
+        q, k, v, mask="causal", lens=lens
+    )
     assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         jnp.bfloat16, atol=5e-2,
     )
+
+
+@pytest.mark.parametrize("inner", ["xla", "pallas"])
+def test_sp_prefill_chunk_inside_first_shard(inner):
+    """A chunk whose whole context fits in shard 0: every other shard
+    must emit the identity state (fully-masked query rows, the
+    _flash_inner underflow guard), no NaNs."""
+    from tiny_llm_tpu.kernels.flash_attention import flash_attention
+    from tiny_llm_tpu.parallel import SPAttention
+
+    q, k, v, _ = _sp_setup(L=4)
+    lens = jnp.asarray([7, 5], jnp.int32)  # inside shard 0 (S_loc=8)
+    ref = flash_attention(q, k, v, mask="causal", lens=lens, impl="xla")
+    scfg = ShardingConfig(make_mesh(dp=1, tp=8))
+    got = SPAttention(scfg, inner=inner, interpret=True).flash(
+        q, k, v, mask="causal", lens=lens
+    )
+    arr = np.asarray(got, np.float32)
+    assert np.isfinite(arr).all()
+    assert_allclose(arr, np.asarray(ref, np.float32), jnp.bfloat16, atol=5e-2)
 
 
 def test_flash_decode_state_matches_xla_oracle():

@@ -18,9 +18,12 @@ attention scores), this moves only [B, Hq, L, D] partial outputs and two
 
 `SPAttention` is an attention-strategy object (duck-typed like
 tp_kernels.TPAttention): pass it as `attn_impl` to the model/kernels.
-Decode steps (L == 1) use the sharded combine; longer chunks fall back
-to an all-gather of the KV shard (prefill is compute-bound, and chunk
-causality does not decompose per shard the way a single query row does).
+Decode steps (L == 1) and prefill chunks (L > 1) both use the sharded
+state combine — prefill causality decomposes per KV shard by giving each
+shard a VIRTUAL context length (global length minus the shard's start
+offset, unclipped): shards wholly before the chunk's queries run
+non-causally, the overlapping shard runs causally, later shards emit the
+identity state. inner="gather" keeps the old all-gather prefill for A/B.
 """
 
 from __future__ import annotations
@@ -100,10 +103,10 @@ class SPAttention:
             lens = jnp.full((B,), S, jnp.int32)
         kv_spec = P(None, None, self.axis, None)
 
-        if L > 1:
-            # Prefill chunk: causality does not decompose per KV shard for
-            # multi-row queries; all-gather the KV shard (compute-bound
-            # regime) and run the local kernel.
+        if L > 1 and self.inner == "gather":
+            # Legacy prefill path: all-gather the KV shard and run the
+            # local kernel. Moves the whole sharded context over ICI;
+            # kept for A/B comparison against the state combine below.
             from ..kernels.flash_attention import flash_attention
 
             def gathered(q, k, v, lens):
@@ -116,6 +119,41 @@ class SPAttention:
 
             return shard_map(
                 gathered, mesh=mesh,
+                in_specs=(P(), kv_spec, kv_spec, P()),
+                out_specs=P(), check_vma=False,
+            )(q, k, v, lens)
+
+        if L > 1:
+            # Sharded prefill: causality DOES decompose per KV shard once
+            # the kernel takes a per-shard VIRTUAL length (lens - shard
+            # start, unclipped). A query row at global position p sees the
+            # shard's key k_local iff k_local <= p - start; shards wholly
+            # before the queries run non-causally, shards wholly after
+            # emit the identity state. Moves [B,Hq,L,D] partials + two
+            # [B,Hq,L] states over ICI — independent of context length
+            # (the all-gather path moves the full sharded KV).
+            S_loc = S // n_shards
+            inner = self.inner
+            interpret = self.interpret
+
+            def local_prefill(q, k, v, lens):
+                shard = jax.lax.axis_index(self.axis)
+                lens_virtual = lens - shard * S_loc  # may be <0 or >S_loc
+                if inner == "pallas":
+                    from ..kernels.flash_attention_pallas import (
+                        flash_prefill_state_pallas,
+                    )
+
+                    o, m, l = flash_prefill_state_pallas(
+                        q, k, v, lens_virtual, scale=scale, causal=True,
+                        interpret=interpret,
+                    )
+                else:
+                    o, m, l = decode_state_xla(q, k, v, lens_virtual, scale)
+                return combine_softmax_states(o, m, l, self.axis)
+
+            return shard_map(
+                local_prefill, mesh=mesh,
                 in_specs=(P(), kv_spec, kv_spec, P()),
                 out_specs=P(), check_vma=False,
             )(q, k, v, lens)
