@@ -222,3 +222,182 @@ class TestMutationJournal:
         plan = j.plan_undo(cp)
         assert any("command ran" in w for w in plan.warnings)
         assert any("outside the journal" in w for w in plan.warnings)
+
+
+class TestIncompleteTurnRecovery:
+    """reference session.py:497-553 — crash gaps after a durable
+    assistant message are closed with synthetic error results."""
+
+    def test_dangling_assistant_message_is_closed(self, log):
+        log.append("user_message", {"text": "task"})
+        log.append("assistant_message", {"text": '{"action": "tool", ...}'})
+        added = log.recover_incomplete_turns()
+        assert len(added) == 1
+        ev = added[0]
+        assert ev.type == "tool_result" and ev.data["recovered"]
+        assert ev.data["assistant_event_id"] == 1
+        # Idempotent: a second recovery pass adds nothing.
+        assert log.recover_incomplete_turns() == []
+
+    def test_completed_turns_not_flagged(self, log):
+        log.append("user_message", {"text": "task"})
+        a = log.append("assistant_message", {"text": "act"})
+        call = log.append("tool_call", {"tool": "read_file", "args": {}})
+        log.append("tool_result", {"call_id": call.id, "result": {}})
+        log.append("assistant_message", {"text": "done"})
+        log.append("run_finished", {"status": "final", "message": "done"})
+        assert log.recover_incomplete_turns() == []
+
+    def test_gap_before_new_run(self, log):
+        log.append("user_message", {"text": "t1"})
+        log.append("assistant_message", {"text": "a1"})
+        log.append("run_started", {"task": "t2"})  # crash happened before t2
+        added = log.recover_incomplete_turns()
+        assert len(added) == 1 and added[0].data["assistant_event_id"] == 1
+
+    def test_protocol_error_counts_as_progress(self, log):
+        log.append("user_message", {"text": "t"})
+        log.append("assistant_message", {"text": "not json"})
+        log.append("protocol_error", {"error": "bad", "count": 1})
+        assert log.recover_incomplete_turns() == []
+
+    def test_unmatched_tool_call_also_closed(self, log):
+        log.append("user_message", {"text": "t"})
+        log.append("assistant_message", {"text": "act"})
+        log.append("tool_call", {"tool": "run_command", "args": {}})
+        added = log.recover_incomplete_turns()
+        assert len(added) == 1
+        assert added[0].data["call_id"] == 2
+
+
+class TestProjectInstructions:
+    def test_snapshot_and_messages(self, log, tmp_path):
+        (tmp_path / "AGENTS.md").write_text("Always run the tests.")
+        ev = log.snapshot_project_instructions(str(tmp_path))
+        assert ev.type == "project_instructions"
+        assert ev.data["sha256"]
+        log.append("user_message", {"text": "task"})
+        msgs = log.messages()
+        assert "Always run the tests." in msgs[0]["content"]
+        assert msgs[1]["content"] == "task"
+        # Later edits to the file do NOT change the snapshot.
+        (tmp_path / "AGENTS.md").write_text("changed")
+        assert "Always run the tests." in log.messages()[0]["content"]
+
+    def test_snapshot_survives_compaction(self, log, tmp_path):
+        (tmp_path / "AGENTS.md").write_text("KEEP ME")
+        log.snapshot_project_instructions(str(tmp_path))
+        log.append("user_message", {"text": "task"})
+        log.append("compaction", {"summary": "s", "kept_messages": []})
+        assert "KEEP ME" in log.messages()[0]["content"]
+
+    def test_missing_file_is_noop(self, log, tmp_path):
+        assert log.snapshot_project_instructions(str(tmp_path)) is None
+
+    def test_idempotent_per_session(self, log, tmp_path):
+        (tmp_path / "AGENTS.md").write_text("x")
+        assert log.snapshot_project_instructions(str(tmp_path)) is not None
+        assert log.snapshot_project_instructions(str(tmp_path)) is None
+
+    def test_symlink_rejected(self, log, tmp_path):
+        (tmp_path / "real.md").write_text("x")
+        os.symlink(tmp_path / "real.md", tmp_path / "AGENTS.md")
+        with pytest.raises(SessionError):
+            log.snapshot_project_instructions(str(tmp_path))
+
+    def test_oversized_rejected(self, log, tmp_path):
+        (tmp_path / "AGENTS.md").write_text("x" * (64 * 1024 + 1))
+        with pytest.raises(SessionError):
+            log.snapshot_project_instructions(str(tmp_path))
+
+
+class TestResumableUndo:
+    """reference recovery.py:853-1030 — undo is itself WAL'd; a crash
+    mid-undo resumes without re-applying completed restores, and
+    unexpected content is quarantined, never destroyed."""
+
+    def _setup(self, tmp_path):
+        from tiny_llm_tpu.agent import MutationJournal
+
+        root = tmp_path / "ws"
+        root.mkdir()
+        (root / "a.txt").write_text("a-original")
+        (root / "b.txt").write_text("b-original")
+        log = SessionLog(str(tmp_path / "s.jsonl"))
+        j = MutationJournal(log, str(root))
+        ckpt = j.create_checkpoint("before")
+        for name, text in (("a.txt", "a-new"), ("b.txt", "b-new")):
+            p = root / name
+            intent = j.record_intent(str(p), text.encode())
+            p.write_text(text)
+            j.commit(intent)
+        return root, log, j, ckpt
+
+    def test_resume_skips_completed_restores(self, tmp_path):
+        root, log, j, ckpt = self._setup(tmp_path)
+        plan = j.plan_undo(ckpt)
+        # Simulate a crash: the undo started, a.txt was fully restored
+        # (journaled), b.txt was not touched.
+        log.append("undo_started", {"checkpoint_id": plan.checkpoint_id,
+                                    "fingerprint": plan.fingerprint()})
+        a = [r for r in plan.restores if r.path == "a.txt"][0]
+        log.append("undo_change_started", {"path": "a.txt"})
+        (root / "a.txt").write_text("a-original")
+        log.append("undo_change_finished", {"path": "a.txt"})
+
+        result = j.apply_undo(plan)
+        assert result["status"] == "resumed"
+        assert result["skipped"] == 1 and result["applied"] == 1
+        assert (root / "a.txt").read_text() == "a-original"
+        assert (root / "b.txt").read_text() == "b-original"
+
+    def test_resume_detects_applied_but_unjournaled(self, tmp_path):
+        root, log, j, ckpt = self._setup(tmp_path)
+        plan = j.plan_undo(ckpt)
+        # Crash AFTER the file write but BEFORE undo_change_finished.
+        log.append("undo_started", {"checkpoint_id": plan.checkpoint_id,
+                                    "fingerprint": plan.fingerprint()})
+        log.append("undo_change_started", {"path": "a.txt"})
+        (root / "a.txt").write_text("a-original")
+
+        result = j.apply_undo(plan)
+        assert result["status"] == "resumed"
+        assert result["skipped"] == 1 and result["applied"] == 1
+        types = [e.type for e in log.events]
+        assert "undo_change_recovered" in types
+
+    def test_fresh_apply_still_refuses_drift(self, tmp_path):
+        root, log, j, ckpt = self._setup(tmp_path)
+        plan = j.plan_undo(ckpt)
+        (root / "a.txt").write_text("drifted")
+        from tiny_llm_tpu.agent.recovery import RecoveryError
+
+        with pytest.raises(RecoveryError):
+            j.apply_undo(plan)
+
+    def test_removal_quarantines_unexpected_content(self, tmp_path):
+        from tiny_llm_tpu.agent import MutationJournal
+
+        root = tmp_path / "ws"
+        root.mkdir()
+        log = SessionLog(str(tmp_path / "s.jsonl"))
+        j = MutationJournal(log, str(root))
+        ckpt = j.create_checkpoint("before")
+        # A file CREATED after the checkpoint: undo removes it.
+        p = root / "new.txt"
+        intent = j.record_intent(str(p), b"created")
+        p.write_text("created")
+        j.commit(intent)
+        plan = j.plan_undo(ckpt)
+        # Race: the file changes between preflight... simulate by patching
+        # _current_digest ordering — simplest: drive _remove_exact directly.
+        p.write_text("surprise edit")
+        import hashlib
+
+        j._remove_exact(str(p), "new.txt",
+                        hashlib.sha256(b"created").hexdigest())
+        assert not p.exists()
+        qdir = root / ".tiny-llm-tpu" / "quarantine"
+        files = list(qdir.iterdir())
+        assert len(files) == 1 and files[0].read_text() == "surprise edit"
+        assert any(e.type == "undo_quarantined" for e in log.events)

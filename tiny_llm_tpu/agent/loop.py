@@ -67,9 +67,15 @@ def run_agent(
     if system_prompt is None:
         system_prompt = build_system_prompt(workspace.policy)
 
-    # Crash recovery on resume: close any dangling tool calls, then add
-    # the (possibly new) task (reference loop.py:171-214).
-    session.recover_unmatched_tool_calls()
+    # Crash recovery on resume: close dangling tool calls AND assistant
+    # messages that never led anywhere, then add the (possibly new) task
+    # (reference loop.py:171-214, session.py:497-553).
+    session.recover_incomplete_turns()
+    # Project instructions: snapshot the workspace's AGENTS.md once per
+    # session (reference session.py:638-666).
+    root = getattr(getattr(workspace, "policy", None), "root", None)
+    if root is not None:
+        session.snapshot_project_instructions(root)
     session.append("user_message", {"text": task})
     session.append("run_started", {"task": task})
 
@@ -115,11 +121,11 @@ def run_agent(
                 action = parse_action(reply)
             except AgentError as e:
                 invalid_count += 1
-                if invalid_count >= limits.max_invalid_actions:
-                    return finish("invalid_limit", None)
                 session.append(
                     "protocol_error", {"error": str(e), "count": invalid_count}
                 )
+                if invalid_count >= limits.max_invalid_actions:
+                    return finish("invalid_limit", None)
                 session.append(
                     "user_message",
                     {"text": f"protocol error: {e}. Reply with exactly one "

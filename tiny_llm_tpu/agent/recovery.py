@@ -225,47 +225,130 @@ class MutationJournal:
             warnings=tuple(warnings),
         )
 
+    # -- applying / resuming undo ---------------------------------------------
+    def _interrupted_undo(self, plan: UndoPlan) -> set[str] | None:
+        """If the log shows an undo of THIS plan that started but never
+        finished (crash mid-undo), return the set of paths whose change
+        already completed; else None (reference recovery.py:853-1030 —
+        undo is itself WAL'd and resumable)."""
+        started_at = None
+        for e in self.session.events:
+            if (e.type == "undo_started"
+                    and e.data.get("fingerprint") == plan.fingerprint()):
+                started_at = e.id
+            elif e.type == "undo_finished" and started_at is not None:
+                started_at = None  # that attempt completed
+        if started_at is None:
+            return None
+        return {
+            e.data["path"]
+            for e in self.session.events
+            if e.type == "undo_change_finished" and e.id > started_at
+        }
+
+    def _current_digest(self, full: str) -> str | None:
+        if not os.path.exists(full):
+            return None
+        with open(full, "rb") as f:
+            return _digest(f.read())
+
+    def _quarantine(self, full: str, rel: str) -> str:
+        """Preserve unexpected content instead of destroying it
+        (reference _remove_exact, recovery.py:1708-2055): the file moves
+        into a quarantine dir and the caller's removal proceeds."""
+        qdir = os.path.join(self.root, ".tiny-llm-tpu", "quarantine")
+        os.makedirs(qdir, mode=0o700, exist_ok=True)
+        dest = os.path.join(
+            qdir, f"{rel.replace(os.sep, '_')}.{os.getpid()}.{len(os.listdir(qdir))}"
+        )
+        os.replace(full, dest)
+        return dest
+
+    def _remove_exact(self, full: str, rel: str, expected: str | None) -> None:
+        """Remove `full` only if it still holds the expected content;
+        unexpected content is quarantined, never destroyed."""
+        cur = self._current_digest(full)
+        if cur is None:
+            return
+        if expected is not None and cur != expected:
+            dest = self._quarantine(full, rel)
+            self.session.append(
+                "undo_quarantined", {"path": rel, "moved_to": dest}
+            )
+            return
+        os.unlink(full)
+
+    def _restore_exact(self, full: str, content: bytes) -> None:
+        tmp = full + f".undo-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, full)
+
     def apply_undo(self, plan: UndoPlan, confirm=None) -> dict:
         """Apply a plan: preflight fingerprints, per-change WAL events,
         atomic restores. Refuses wholesale if any file drifted since the
-        plan was computed."""
+        plan was computed — EXCEPT when resuming an interrupted undo of
+        the same plan, where already-restored files legitimately hold
+        their before-image already."""
         if confirm is not None and not confirm(plan):
             return {"applied": 0, "status": "rejected"}
-        # Preflight: everything must still match.
+        done_paths = self._interrupted_undo(plan)
+        resuming = done_paths is not None
+        done_paths = done_paths or set()
+
+        # Preflight: every file must match the plan — or, when resuming,
+        # already hold its restored before-image.
         for r in plan.restores:
             full = os.path.join(self.root, r.path)
-            cur = None
-            if os.path.exists(full):
-                with open(full, "rb") as f:
-                    cur = _digest(f.read())
-            if cur != r.expected_current_digest:
+            cur = self._current_digest(full)
+            ok = cur == r.expected_current_digest
+            if resuming and not ok:
+                restored = r.before_digest if r.before_exists else None
+                ok = cur == restored
+            if not ok:
                 raise RecoveryError(
                     f"{r.path!r} changed since the undo plan was computed"
                 )
-        self.session.append(
-            "undo_started",
-            {"checkpoint_id": plan.checkpoint_id, "fingerprint": plan.fingerprint()},
-        )
+
+        if not resuming:
+            self.session.append(
+                "undo_started",
+                {"checkpoint_id": plan.checkpoint_id,
+                 "fingerprint": plan.fingerprint()},
+            )
         applied = 0
+        skipped = 0
         for r in plan.restores:
             full = os.path.join(self.root, r.path)
+            restored_digest = r.before_digest if r.before_exists else None
+            if r.path in done_paths or (
+                resuming and self._current_digest(full) == restored_digest
+            ):
+                # Completed (or applied-but-unjournaled) before the crash.
+                if r.path not in done_paths:
+                    self.session.append(
+                        "undo_change_recovered", {"path": r.path}
+                    )
+                skipped += 1
+                continue
             self.session.append("undo_change_started", {"path": r.path})
             if r.before_exists:
                 content = _decode_content(r.before_content)
                 intent = self.record_intent(full, content)
-                tmp = full + f".undo-{os.getpid()}"
-                with open(tmp, "wb") as f:
-                    f.write(content)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, full)
+                self._restore_exact(full, content)
                 self.commit(intent)
             else:
-                if os.path.exists(full):
-                    os.unlink(full)
+                self._remove_exact(full, r.path, r.expected_current_digest)
             self.session.append("undo_change_finished", {"path": r.path})
             applied += 1
         self.session.append(
             "undo_finished", {"checkpoint_id": plan.checkpoint_id, "applied": applied}
         )
-        return {"applied": applied, "status": "ok", "warnings": list(plan.warnings)}
+        return {
+            "applied": applied,
+            "skipped": skipped,
+            "status": "resumed" if resuming else "ok",
+            "warnings": list(plan.warnings),
+        }

@@ -73,6 +73,46 @@ class SessionLog:
                     pass
             self._expected_size = os.path.getsize(path)
 
+    # -- project instructions --------------------------------------------------
+    MAX_INSTRUCTIONS_BYTES = 64 * 1024
+
+    def snapshot_project_instructions(self, workspace_root: str) -> SessionEvent | None:
+        """Durably snapshot the workspace's AGENTS.md into the session
+        (reference session.py:638-666): the file's content at session
+        start is what the model sees for the whole session, immune to
+        later edits. Symlinked or oversized files are rejected; a missing
+        file is a no-op. Idempotent per session."""
+        import hashlib
+
+        if any(e.type == "project_instructions" for e in self.events):
+            return None
+        path = os.path.join(workspace_root, "AGENTS.md")
+        if os.path.islink(path):
+            raise SessionError("AGENTS.md is a symlink; refusing to snapshot")
+        if not os.path.isfile(path):
+            return None
+        size = os.path.getsize(path)
+        if size > self.MAX_INSTRUCTIONS_BYTES:
+            raise SessionError(
+                f"AGENTS.md is {size} bytes; limit {self.MAX_INSTRUCTIONS_BYTES}"
+            )
+        with open(path, "rb") as f:
+            data = f.read()
+        return self.append(
+            "project_instructions",
+            {
+                "path": "AGENTS.md",
+                "sha256": hashlib.sha256(data).hexdigest(),
+                "content": data.decode("utf-8"),
+            },
+        )
+
+    def project_instructions(self) -> str | None:
+        for e in self.events:
+            if e.type == "project_instructions":
+                return e.data["content"]
+        return None
+
     # -- core append ---------------------------------------------------------
     def append(self, type: str, data: dict[str, Any] | None = None) -> SessionEvent:
         data = dict(data or {})
@@ -109,6 +149,11 @@ class SessionLog:
     def _validate_append(self, type: str, data: dict) -> None:
         if type == "tool_result":
             call_id = data.get("call_id")
+            if call_id is None and data.get("recovered"):
+                # Synthetic gap-closing result (recover_incomplete_turns):
+                # documents a crash after an assistant message, closes no
+                # tool_call.
+                return
             open_calls = {e.id for e in self.events if e.type == "tool_call"}
             closed = {e.data.get("call_id") for e in self.events
                       if e.type == "tool_result"}
@@ -125,7 +170,9 @@ class SessionLog:
 
     # -- conversation view ---------------------------------------------------
     def messages(self) -> list[dict[str, str]]:
-        """Rebuild the model-visible conversation from durable events."""
+        """Rebuild the model-visible conversation from durable events.
+        A snapshotted AGENTS.md leads the conversation and survives
+        compaction (reference session.py:395-411)."""
         out: list[dict[str, str]] = []
         for ev in self.events:
             if ev.type == "user_message":
@@ -150,6 +197,12 @@ class SessionLog:
                      "content": "[summary of earlier work]\n" + ev.data["summary"]},
                     *[dict(m) for m in kept],
                 ]
+        instructions = self.project_instructions()
+        if instructions:
+            out = [
+                {"role": "user",
+                 "content": "[project instructions: AGENTS.md]\n" + instructions}
+            ] + out
         return out
 
     # -- steering ------------------------------------------------------------
@@ -179,7 +232,8 @@ class SessionLog:
 
     def recover_unmatched_tool_calls(self) -> list[SessionEvent]:
         """Close dangling tool_calls with synthetic error results
-        (reference session.py:471-553)."""
+        (reference session.py:471-495). The call is never repeated — the
+        prior process may or may not have executed it."""
         added = []
         for call in self.open_tool_calls():
             added.append(
@@ -191,6 +245,59 @@ class SessionLog:
                 )
             )
         return added
+
+    # Event types that mean "the turn proceeded past the assistant message".
+    _TURN_PROGRESS_TYPES = frozenset(
+        {"tool_call", "tool_result", "protocol_error", "loop_detected",
+         "interrupted"}
+    )
+
+    def recover_incomplete_turns(self) -> list[SessionEvent]:
+        """Close crash gaps after a durable assistant message without
+        interpreting it (reference session.py:497-553): if a recorded
+        model response was never followed by any action, error, or
+        completed run_finished, append a synthetic error tool_result so a
+        resumed conversation shows the gap instead of silently implying
+        the action ran. (Deviation from the reference: a user_message
+        directly after an assistant_message is NOT a gap here — this
+        loop's protocol-error prompts and steering notices are durable
+        user messages, so they mark the turn as handled.)"""
+        recovered = list(self.recover_unmatched_tool_calls())
+        events = list(self.events)
+        closed = {
+            e.data.get("assistant_event_id")
+            for e in events
+            if e.type == "tool_result" and e.data.get("assistant_event_id")
+        }
+        for idx, ev in enumerate(events):
+            if ev.type != "assistant_message" or ev.id in closed:
+                continue
+            following = next(
+                (c for c in events[idx + 1:]
+                 if c.type in self._TURN_PROGRESS_TYPES
+                 or c.type in ("assistant_message", "run_started",
+                               "run_finished", "user_message")),
+                None,
+            )
+            is_gap = (
+                following is None
+                or following.type in ("assistant_message", "run_started")
+                or (following.type == "run_finished"
+                    and following.data.get("status") != "final")
+            )
+            if is_gap:
+                recovered.append(
+                    self.append(
+                        "tool_result",
+                        {"call_id": None,
+                         "assistant_event_id": ev.id,
+                         "result": {"error":
+                             "the prior process stopped after recording a "
+                             "model response; no action from it was repeated"},
+                         "recovered": True},
+                    )
+                )
+        return recovered
 
     # -- loading -------------------------------------------------------------
     @staticmethod
