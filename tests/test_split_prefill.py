@@ -137,6 +137,7 @@ def test_model_split_prefill_matches_plain_paged():
             num_pages=40, page_size=8
         )
         m.split_prefill = split
+        m.split_prefill_min_chunk = 32  # exercise the path at test scale
         return m
 
     rng = np.random.default_rng(1)

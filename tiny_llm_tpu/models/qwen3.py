@@ -632,11 +632,15 @@ class Qwen3Model:
             static_argnames=("logits_to_keep", "local_attention", "split_attention"),
             donate_argnames=("key_pages", "value_pages"),
         )
-        # Split-attention chunked prefill (offset>0 chunks): exact, ~2x at
-        # serving chunk shapes (prefix pages stream without causal
-        # bookkeeping; chunk self-attention runs at dense tiles). Strategy
-        # attn_impl objects (TP/SP) keep the plain paged path.
+        # Split-attention chunked prefill (offset>0 chunks): exact softmax-
+        # state combine of chunk-local dense attention with a non-causal
+        # prefix page stream. Measured on the v5e (benches/
+        # bench_chunked_prefill.py, 8K prompt): 1.13x at 1024-token chunks,
+        # 1.21x at 2048, neutral at <=512 where whole-model projections
+        # dominate — hence the min-chunk gate. Strategy attn_impl objects
+        # (TP/SP) keep the plain paged path.
         self.split_prefill = isinstance(attn_impl, (str, type(None)))
+        self.split_prefill_min_chunk = 1024
         self._paged_burst_jit = jax.jit(
             functools.partial(
                 forward_decode_burst_paged, cfg=cfg, attn_impl=attn_impl
@@ -881,7 +885,10 @@ class Qwen3Model:
             # the paged decode kernel, which already streams efficiently.
             local_attention=bool(L > 1 and np.all(offsets_np == 0)),
             split_attention=bool(
-                self.split_prefill and L > 16 and np.any(offsets_np > 0)
+                self.split_prefill
+                and L >= self.split_prefill_min_chunk
+                and L > 16
+                and np.any(offsets_np > 0)
             ),
         )
         pool.update_tensors(kp, vp)
