@@ -15,7 +15,12 @@ from .sharding import (
 )
 from .sp_attention import SPAttention, combine_softmax_states
 from .tp_kernels import TPAttention, paged_pool_spec
-from .pipeline import MicrobatchedPipeline, PipelinedQwen3, split_stages
+from .pipeline import (
+    DecodePipeline,
+    MicrobatchedPipeline,
+    PipelinedQwen3,
+    split_stages,
+)
 
 __all__ = [
     "allgather_matmul",
@@ -26,6 +31,7 @@ __all__ = [
     "matmul_reducescatter",
     "overlapped_tp_matmuls",
     "runtime_topology",
+    "DecodePipeline",
     "MicrobatchedPipeline",
     "PipelinedQwen3",
     "split_stages",
