@@ -13,6 +13,7 @@ from .sharding import (
     shard_kv_cache,
     shard_params,
 )
+from .ep_moe import EPMoE
 from .sp_attention import SPAttention, combine_softmax_states
 from .tp_kernels import TPAttention, paged_pool_spec
 from .pipeline import (
@@ -40,6 +41,7 @@ __all__ = [
     "param_shardings",
     "shard_kv_cache",
     "shard_params",
+    "EPMoE",
     "SPAttention",
     "TPAttention",
     "combine_softmax_states",
