@@ -178,3 +178,76 @@ class TestContext:
         assert s.goal.startswith("please fix")
         assert s.changed_files == ["src/parser.py"]
         assert "rc=0" in s.validation[0]
+
+
+class TestTokenExactTruncation:
+    def test_truncated_result_measures_within_budget(self):
+        # A "tokenizer" with wildly non-uniform token costs (code-like):
+        # every digit costs 3 tokens, everything else 1 per 4 chars.
+        def encode(s):
+            digits = sum(c.isdigit() for c in s)
+            return digits * 3 + (len(s) - digits) // 4
+
+        mgr = ContextManager(
+            encode=encode,
+            policy=ContextPolicy(max_tokens=4000, reserve_output=1000,
+                                 max_tool_result_tokens=60),
+        )
+        content = "tool_result: " + "12345678 " * 500
+        out = mgr._bound_tool_result_tokens(content)
+        assert encode(out) <= 60
+        # Not over-truncated: within a bisection step of the budget.
+        assert encode(out) > 30
+
+    def test_under_budget_untouched(self):
+        mgr = ContextManager(
+            encode=lambda s: len(s) // 4,
+            policy=ContextPolicy(max_tokens=4000, reserve_output=1000,
+                                 max_tool_result_tokens=100),
+        )
+        content = "tool_result: short"
+        assert mgr._bound_tool_result_tokens(content) == content
+
+
+class TestSummaryAttemptEvents:
+    def _mgr(self, summarize, session):
+        return ContextManager(
+            encode=lambda s: len(s),
+            policy=ContextPolicy(max_tokens=1500, reserve_output=500,
+                                 min_recent_turns=1),
+            summarize=summarize,
+            session_log=session,
+        )
+
+    def _overlong(self):
+        msgs = [{"role": "user", "content": "the task"}]
+        for i in range(8):
+            msgs.append({"role": "assistant", "content": "m" * 200})
+            msgs.append({"role": "user", "content": f"turn{i} " + "n" * 200})
+        return msgs
+
+    def test_model_summary_success_recorded(self):
+        from tiny_llm_tpu.agent import memory_session
+
+        log = memory_session()
+        mgr = self._mgr(lambda old: WorkingSummary(goal="g"), log)
+        mgr.prepare(self._overlong())
+        ev = [e for e in log.events if e.type == "summary_attempt"]
+        assert len(ev) == 1
+        assert ev[0].data == {"summarizer": "model", "ok": True}
+        assert any(e.type == "compaction" for e in log.events)
+
+    def test_model_summary_failure_falls_back_and_records(self):
+        from tiny_llm_tpu.agent import memory_session
+
+        def bad(old):
+            raise ValueError("model refused")
+
+        log = memory_session()
+        mgr = self._mgr(bad, log)
+        mgr.prepare(self._overlong())
+        ev = [e for e in log.events if e.type == "summary_attempt"]
+        assert len(ev) == 1
+        assert ev[0].data["ok"] is False
+        assert "model refused" in ev[0].data["error"]
+        assert any(e.type == "compaction" for e in log.events)

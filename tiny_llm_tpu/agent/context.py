@@ -144,29 +144,52 @@ class ContextManager:
     def _tokens(self, messages: list[dict]) -> int:
         return sum(self._encode(m["content"]) + 4 for m in messages)
 
+    def _bound_tool_result_tokens(self, content: str) -> str:
+        """TOKEN-exact head+tail truncation: binary-search the character
+        budget until the truncated text measures within
+        max_tool_result_tokens by the REAL encoder (reference
+        context.py:200-231 uses the same encode-and-bisect contract —
+        char heuristics drift badly on code and non-ASCII)."""
+        budget = self.policy.max_tool_result_tokens
+        if self._encode(content) <= budget:
+            return content
+        lo, hi = 16, len(content)
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if self._encode(bound_tool_result(content, mid)) <= budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        return bound_tool_result(content, lo)
+
     def prepare(self, messages: list[dict]) -> list[dict]:
         pol = self.policy
-        # 1. Bound every tool result.
+        # 1. Bound every tool result (token-exact).
         out = []
         for m in messages:
             c = m["content"]
-            if c.startswith("tool_result:") and self._encode(c) > pol.max_tool_result_tokens:
-                c = bound_tool_result(c, pol.max_tool_result_tokens * 4)
+            if c.startswith("tool_result:"):
+                c = self._bound_tool_result_tokens(c)
             out.append({"role": m["role"], "content": c})
         if self._tokens(out) <= pol.input_budget:
             return out
 
-        # 2. Compact: summarize the old turns, keep the recent ones.
+        # 2. Compact: summarize the old turns, keep the recent ones. Every
+        # attempt is durable (reference context.py:795-836) so a resumed
+        # session can see WHY a compaction holds the summary it does.
         bounds = _turn_boundaries(out)
         keep_from = bounds[-pol.min_recent_turns] if len(bounds) >= pol.min_recent_turns else 0
         old, recent = out[:keep_from], out[keep_from:]
         if self.summarize is not None and old:
             try:
                 summary = self.summarize(old)
-            except Exception:
+                self._record_summary_attempt("model", ok=True)
+            except Exception as e:
                 summary = deterministic_summary(old)
+                self._record_summary_attempt("model", ok=False, error=str(e))
         else:
             summary = deterministic_summary(old)
+            self._record_summary_attempt("deterministic", ok=True)
         summary_text = summary.render()
         while self._encode(summary_text) > pol.max_summary_tokens:
             summary = _shrink_summary(summary)
@@ -194,6 +217,15 @@ class ContextManager:
                  "dropped": len(old)},
             )
         return compacted
+
+    def _record_summary_attempt(self, kind: str, ok: bool,
+                                error: str | None = None) -> None:
+        if self.session is None:
+            return
+        data = {"summarizer": kind, "ok": ok}
+        if error is not None:
+            data["error"] = error[:500]
+        self.session.append("summary_attempt", data)
 
 
 def model_summarizer(generate) -> Callable[[list[dict]], WorkingSummary]:
