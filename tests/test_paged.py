@@ -225,3 +225,52 @@ def test_decode_burst_matches_stepwise(paired_models):
     )
     assert dict(step_results) == dict(burst_results)
     assert paged.page_pool.live_pages == 0
+
+
+class TestStripedPool:
+    """Sequence-sharded pool allocation (SP paged decode): pages balance
+    across per-shard ranges so every request's context spreads evenly."""
+
+    def test_allocations_balance_across_shards(self):
+        pool = PagePool(1, 16, 2, 8, 64, stripe_shards=4)
+        pages = [pool.allocate_page() for _ in range(8)]
+        shard_of = [p // 4 for p in pages]
+        # Every shard got exactly 2 of the first 8 pages.
+        assert sorted(shard_of) == [0, 0, 1, 1, 2, 2, 3, 3]
+        assert 0 not in pages  # trash page never allocated
+
+    def test_free_returns_to_owning_shard(self):
+        pool = PagePool(1, 16, 2, 8, 64, stripe_shards=4)
+        pages = [pool.allocate_page() for _ in range(8)]
+        before = pool.free_pages
+        for p in pages:
+            pool.free_page(p)
+        assert pool.free_pages == before + 8
+        # Re-allocation still balances and reuses.
+        again = [pool.allocate_page() for _ in range(8)]
+        assert sorted(p // 4 for p in again) == [0, 0, 1, 1, 2, 2, 3, 3]
+        assert pool.reused_page_allocations >= 8
+
+    def test_exhaustion_raises(self):
+        pool = PagePool(1, 8, 2, 8, 64, stripe_shards=2)
+        for _ in range(7):  # 8 pages minus the trash page
+            pool.allocate_page()
+        with pytest.raises(RuntimeError):
+            pool.allocate_page()
+
+    def test_reset_restores_striping(self):
+        pool = PagePool(1, 16, 2, 8, 64, stripe_shards=4)
+        [pool.allocate_page() for _ in range(8)]
+        pool.reset()
+        assert pool.free_pages == 15
+        pages = [pool.allocate_page() for _ in range(4)]
+        assert sorted(p // 4 for p in pages) == [0, 1, 2, 3]
+
+    def test_striped_pool_serves_paged_cache(self):
+        pool = PagePool(2, 16, 2, 8, 64, stripe_shards=4)
+        c = PagedKVCache(pool)
+        c.ensure_capacity(30)  # 4 pages
+        assert c.num_pages == 4
+        assert sorted(p // 4 for p in c.page_ids) == [0, 1, 2, 3]
+        c.release()
+        assert pool.free_pages == 15

@@ -395,3 +395,96 @@ def test_flash_decode_state_matches_xla_oracle():
                     jnp.bfloat16, atol=5e-2)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-2, atol=1e-2)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-2, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-sharded PAGED decode (distributed paged-KV pool, SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+def _sp_paged_setup(P=16, Hq=4, Hkv=2, ps=8, D=64, L=1):
+    """Two requests with non-contiguous global pages spanning shards
+    (P=16 over 8 shards -> 2 pages/shard): row 0 uses pages 5,2,7,9
+    (19 tokens + L), row 1 pages 1,12 (10 tokens + L); -1 padding."""
+    rng = np.random.default_rng(13)
+    kp = jnp.asarray(rng.normal(size=(P, Hkv, ps, D)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(P, Hkv, ps, D)), jnp.float32)
+    table = jnp.asarray([[5, 2, 7, 9], [1, 12, -1, -1]], jnp.int32)
+    lens = jnp.asarray([19 + L, 10 + L], jnp.int32)
+    q = jnp.asarray(rng.normal(size=(2, Hq, L, D)), jnp.float32)
+    return q, kp, vp, table, lens
+
+
+@pytest.mark.parametrize("inner", ["xla", "pallas"])
+def test_sp_paged_decode_matches_unsharded(inner):
+    from tiny_llm_tpu.kernels.paged_attention import paged_attention
+    from tiny_llm_tpu.parallel import SPAttention
+
+    q, kp, vp, table, lens = _sp_paged_setup()
+    ref = paged_attention(q, kp, vp, table, lens, impl="xla")
+    scfg = ShardingConfig(make_mesh(dp=1, tp=8))
+    sp = SPAttention(scfg, inner=inner, interpret=True)
+    got = sp.paged(q, kp, vp, table, lens)
+    assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        jnp.bfloat16, atol=5e-2,
+    )
+
+
+def test_sp_paged_decode_single_shard_row():
+    """A row whose every page lives on ONE shard: all other shards emit
+    the identity state; no NaNs."""
+    from tiny_llm_tpu.kernels.paged_attention import paged_attention
+    from tiny_llm_tpu.parallel import SPAttention
+
+    rng = np.random.default_rng(14)
+    P, Hq, Hkv, ps, D = 16, 4, 2, 8, 64
+    kp = jnp.asarray(rng.normal(size=(P, Hkv, ps, D)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(P, Hkv, ps, D)), jnp.float32)
+    table = jnp.asarray([[2, 3, -1]], jnp.int32)  # both pages on shard 1
+    lens = jnp.asarray([13], jnp.int32)
+    q = jnp.asarray(rng.normal(size=(1, Hq, 1, D)), jnp.float32)
+    ref = paged_attention(q, kp, vp, table, lens, impl="xla")
+    scfg = ShardingConfig(make_mesh(dp=1, tp=8))
+    got = SPAttention(scfg, inner="xla").paged(q, kp, vp, table, lens)
+    arr = np.asarray(got, np.float32)
+    assert np.isfinite(arr).all()
+    assert_allclose(arr, np.asarray(ref, np.float32), jnp.bfloat16, atol=5e-2)
+
+
+def test_sp_paged_prefill_chunk_gathers():
+    """L > 16 chunks take the all-gather fallback and still match."""
+    from tiny_llm_tpu.kernels.paged_attention import paged_attention
+    from tiny_llm_tpu.parallel import SPAttention
+
+    q, kp, vp, table, lens = _sp_paged_setup(L=24)
+    ref = paged_attention(q, kp, vp, table, lens, impl="xla")
+    scfg = ShardingConfig(make_mesh(dp=1, tp=8))
+    got = SPAttention(scfg, inner="xla").paged(q, kp, vp, table, lens)
+    assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        jnp.bfloat16, atol=5e-2,
+    )
+
+
+def test_paged_decode_state_pallas_matches_oracle():
+    from tiny_llm_tpu.kernels.paged_attention_pallas import paged_decode_state
+    from tiny_llm_tpu.parallel.sp_attention import paged_decode_state_xla
+
+    q, kp, vp, table, lens = _sp_paged_setup()
+    scale = q.shape[-1] ** -0.5
+    P_loc = 4  # pretend 4 shards of 4 pages; test shard 1 (pages 4..7)
+    kp_loc, vp_loc = kp[4:8], vp[4:8]
+    o1, m1, l1 = paged_decode_state(
+        q, kp_loc, vp_loc, table, lens, jnp.int32(4), scale=scale,
+        interpret=True,
+    )
+    o2, m2, l2 = paged_decode_state_xla(
+        q, kp_loc, vp_loc, table, lens, 4, scale
+    )
+    assert_allclose(np.asarray(o1, np.float32), np.asarray(o2, np.float32),
+                    jnp.bfloat16, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=2e-2,
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=3e-2,
+                               atol=3e-2)

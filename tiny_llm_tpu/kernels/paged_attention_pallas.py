@@ -242,6 +242,139 @@ def paged_flash_prefill(
     return out
 
 
+def _paged_decode_state_kernel(
+    base_ref,  # [1] i32 (scalar prefetch) — first GLOBAL page id owned here
+    bt_ref,  # [B, maxp] i32 (scalar prefetch) — GLOBAL page ids
+    lens_ref,  # [B] i32 (scalar prefetch)
+    q_ref,  # [1, 1, n_rep, L, D]
+    k_ref,  # [1, 1, ps, D] — one LOCAL page
+    v_ref,
+    o_ref,  # [1, 1, n_rep, L, D]
+    m_out,  # [1, 1, n_rep, L] f32
+    l_out,  # [1, 1, n_rep, L] f32
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    ps: int,
+    p_loc: int,
+    scale: float,
+):
+    """Flash decode over the shard-LOCAL slice of a sequence-sharded page
+    pool, emitting online-softmax state. The shard owns global pages
+    [base, base + p_loc); block-table entries outside that range are
+    skipped (their tokens live on other shards — the mesh-level analog of
+    the Metal decode kernel's page_id < 0 skip,
+    paged_attention.metal:108-244). Combine across shards with
+    combine_softmax_states(). Shards owning none of a row's pages emit
+    the identity (o=0, m=NEG_INF, l=0)."""
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    n_rep, L, D = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
+    R = n_rep * L
+    ctx = lens_ref[b]
+    page = bt_ref[b, i]
+    local = page - base_ref[0]
+    owned = (local >= 0) & (local < p_loc)
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when((i * ps < ctx) & owned)
+    def _():
+        q = q_ref[0, 0].reshape(R, D).astype(jnp.float32) * scale
+        l_idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % L
+        q_pos = ctx - L + l_idx
+        _flash_inner(q, k_ref[0, 0], v_ref[0, 0], q_pos, i * ps, m_ref, l_ref, acc_ref)
+
+    @pl.when(i == pl.num_programs(2) - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / denom).reshape(n_rep, L, D).astype(o_ref.dtype)
+        m_out[0, 0] = m_ref[:, :1].reshape(n_rep, L)
+        l_out[0, 0] = l_ref[:, :1].reshape(n_rep, L)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_decode_state(
+    q: jax.Array,  # [B, Hq, L, D] — decode rows (L small)
+    key_pages: jax.Array,  # [P_loc, Hkv, ps, D] — the shard's LOCAL pages
+    value_pages: jax.Array,
+    block_table: jax.Array,  # [B, maxp] i32 — GLOBAL page ids
+    context_lens: jax.Array,  # [B] i32 — GLOBAL context length
+    page_base: jax.Array,  # [] or [1] i32 — first global page id owned here
+    scale: float,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(o, m, l) of decode attention over the locally-owned pages only."""
+    B, Hq, L, D = q.shape
+    P_loc, Hkv, ps, _ = key_pages.shape
+    n_rep = Hq // Hkv
+    maxp = block_table.shape[1]
+    R = n_rep * L
+
+    def q_map(b, h, i, base_ref, bt_ref, lens_ref):
+        return (b, h, 0, 0, 0)
+
+    def st_map(b, h, i, base_ref, bt_ref, lens_ref):
+        return (b, h, 0, 0)
+
+    def kv_map(b, h, i, base_ref, bt_ref, lens_ref):
+        # Clamp non-owned / padded pages into range; the kernel body skips
+        # them, and repeated indices elide the DMA.
+        local = bt_ref[b, i] - base_ref[0]
+        return (jnp.clip(local, 0, P_loc - 1), h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, Hkv, maxp),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_rep, L, D), q_map),
+            pl.BlockSpec((1, 1, ps, D), kv_map),
+            pl.BlockSpec((1, 1, ps, D), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, n_rep, L, D), q_map),
+            pl.BlockSpec((1, 1, n_rep, L), st_map),
+            pl.BlockSpec((1, 1, n_rep, L), st_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, D), jnp.float32),
+        ],
+    )
+    qg = q.reshape(B, Hkv, n_rep, L, D)
+    kernel = functools.partial(
+        _paged_decode_state_kernel, ps=ps, p_loc=P_loc, scale=scale
+    )
+    o, m, l = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, n_rep, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, n_rep, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, n_rep, L), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(page_base, jnp.int32).reshape(1),
+        block_table.astype(jnp.int32),
+        context_lens.astype(jnp.int32),
+        qg,
+        key_pages,
+        value_pages,
+    )
+    return (
+        o.reshape(B, Hq, L, D),
+        m.reshape(B, Hq, L),
+        l.reshape(B, Hq, L),
+    )
+
+
 def _paged_prefix_state_kernel(
     bt_ref,
     lens_ref,  # [B] i32 — PREFIX length (tokens before the chunk)

@@ -47,6 +47,7 @@ class PagePool:
         head_dim: int,
         dtype=jnp.bfloat16,
         native: bool | None = None,
+        stripe_shards: int | None = None,
     ):
         self.num_layers = num_layers
         self.num_pages = num_pages
@@ -64,8 +65,26 @@ class PagePool:
         # Bookkeeping backend: the native C++ index (csrc/page_allocator.cpp)
         # when the toolchain is available, else pure Python. Identical
         # semantics; the native path also assembles block tables in C++.
+        #
+        # stripe_shards: for a SEQUENCE-SHARDED pool (page axis split over
+        # stripe_shards mesh devices, parallel/sp_attention.py .paged),
+        # allocation balances across the per-shard page ranges so every
+        # request's context spreads evenly — the SP decode combine then
+        # gets near-equal per-shard work. Pure-Python backend only.
+        self.stripe_shards = stripe_shards
         self.native_index = None
-        if native is not False:
+        self._free_by_shard: list[list[int]] | None = None
+        if stripe_shards:
+            assert num_pages % stripe_shards == 0, (
+                f"num_pages {num_pages} must divide over {stripe_shards} shards"
+            )
+            p_loc = num_pages // stripe_shards
+            self._free_by_shard = [
+                [p for p in range((s + 1) * p_loc - 1, s * p_loc - 1, -1)
+                 if p != 0]
+                for s in range(stripe_shards)
+            ]
+        elif native is not False:
             try:
                 from ..native import NativePageIndex
 
@@ -82,6 +101,8 @@ class PagePool:
     def free_pages(self) -> int:
         if self.native_index is not None:
             return self.native_index.free_pages
+        if self._free_by_shard is not None:
+            return sum(len(f) for f in self._free_by_shard)
         return len(self._free)
 
     @property
@@ -97,12 +118,26 @@ class PagePool:
     def allocate_page(self) -> int:
         if self.native_index is not None:
             return self.native_index.allocate_page()
-        if not self._free:
-            raise RuntimeError(
-                f"page pool exhausted ({self.num_pages} pages); size the pool "
-                "for max_seq_len * max_active_requests"
+        if self._free_by_shard is not None:
+            # Balance: take from the shard with the most free pages, so
+            # each request's context spreads evenly over the SP shards.
+            shard = max(
+                range(len(self._free_by_shard)),
+                key=lambda s: len(self._free_by_shard[s]),
             )
-        page = self._free.pop()
+            if not self._free_by_shard[shard]:
+                raise RuntimeError(
+                    f"page pool exhausted ({self.num_pages} pages); size the "
+                    "pool for max_seq_len * max_active_requests"
+                )
+            page = self._free_by_shard[shard].pop()
+        else:
+            if not self._free:
+                raise RuntimeError(
+                    f"page pool exhausted ({self.num_pages} pages); size the "
+                    "pool for max_seq_len * max_active_requests"
+                )
+            page = self._free.pop()
         if page in self._ever_allocated:
             self._reused += 1
         self._ever_allocated.add(page)
@@ -112,6 +147,10 @@ class PagePool:
         if self.native_index is not None:
             self.native_index.free_page(page)
             return
+        if self._free_by_shard is not None:
+            p_loc = self.num_pages // self.stripe_shards
+            self._free_by_shard[page // p_loc].append(page)
+            return
         self._free.append(page)
 
     def reset(self) -> None:
@@ -119,6 +158,14 @@ class PagePool:
             from ..native import NativePageIndex
 
             self.native_index = NativePageIndex(self.num_pages)
+            return
+        if self._free_by_shard is not None:
+            p_loc = self.num_pages // self.stripe_shards
+            self._free_by_shard = [
+                [p for p in range((s + 1) * p_loc - 1, s * p_loc - 1, -1)
+                 if p != 0]
+                for s in range(self.stripe_shards)
+            ]
             return
         self._free = list(range(self.num_pages - 1, 0, -1))
 

@@ -68,6 +68,48 @@ def decode_state_xla(q, k, v, lens, scale):
     )
 
 
+def paged_decode_state_xla(
+    q, key_pages_loc, value_pages_loc, block_table, lens, page_base, scale
+):
+    """Oracle/portable (o, m, l) over the LOCALLY-OWNED pages of a
+    sequence-sharded page pool: the shard holds global pages
+    [page_base, page_base + P_loc); block-table entries outside that
+    range contribute nothing. Identity (0, -inf, 0) when the shard owns
+    none of a row's visible pages."""
+    B, Hq, L, D = q.shape
+    P_loc, Hkv, ps, _ = key_pages_loc.shape
+    n_rep = Hq // Hkv
+    maxp = block_table.shape[1]
+    owned = (block_table >= page_base) & (block_table < page_base + P_loc)
+    local = jnp.clip(block_table - page_base, 0, P_loc - 1)  # [B, maxp]
+    k = jnp.take(key_pages_loc, local, axis=0)  # [B, maxp, Hkv, ps, D]
+    v = jnp.take(value_pages_loc, local, axis=0)
+    S = maxp * ps
+    k = k.transpose(0, 2, 1, 3, 4).reshape(B, Hkv, S, D)
+    v = v.transpose(0, 2, 1, 3, 4).reshape(B, Hkv, S, D)
+    qf = q.astype(jnp.float32) * scale
+    qg = qf.reshape(B, Hkv, n_rep * L, D)
+    s = jnp.einsum("bhrd,bhsd->bhrs", qg, k.astype(jnp.float32))
+    k_pos = jnp.arange(S, dtype=jnp.int32)[None, None, None, :]
+    l_idx = jnp.arange(n_rep * L, dtype=jnp.int32)[None, None, :, None] % L
+    q_pos = lens[:, None, None, None] - L + l_idx
+    owned_pos = jnp.repeat(owned, ps, axis=1)[:, None, None, :]  # [B,1,1,S]
+    s = jnp.where((k_pos <= q_pos) & owned_pos, s, -jnp.inf)
+    # Identity rows carry m = -1e30 (the Pallas kernels' NEG_INF), not
+    # -inf: equivalent under the combine (l == 0), comparable in tests.
+    m = jnp.maximum(jnp.max(s, axis=-1), -1e30)
+    p = jnp.where(jnp.isfinite(s), jnp.exp(s - m[..., None]), 0.0)
+    l = jnp.sum(p, axis=-1)
+    o = jnp.einsum("bhrs,bhsd->bhrd", p, v.astype(jnp.float32))
+    o = o / jnp.maximum(l, 1e-30)[..., None]
+    shape3 = (B, Hq, L)
+    return (
+        o.reshape(B, Hq, L, D).astype(q.dtype),
+        m.reshape(shape3),
+        l.reshape(shape3),
+    )
+
+
 def combine_softmax_states(o, m, l, axis_name: str):
     """Merge per-shard (o, m, l) across `axis_name` into final attention."""
     m_glob = jax.lax.pmax(m, axis_name)  # [B, Hq, L]
@@ -183,3 +225,72 @@ class SPAttention:
             in_specs=(P(), kv_spec, kv_spec, P()),
             out_specs=P(), check_vma=False,
         )(q, k, v, lens)
+
+    def paged(
+        self, q, key_pages, value_pages, block_table, context_lens,
+        scale=None, mask="causal",
+    ):
+        """Sequence-sharded PAGED decode: the page pool's page axis is
+        sharded over `axis` (shard s owns global pages
+        [s·P_loc, (s+1)·P_loc)); each shard computes (o, m, l) over the
+        block-table entries it owns and the states merge with the same
+        two collectives as the dense path. This is the distributed
+        paged-KV pool of SURVEY.md §2.8: block tables keep GLOBAL page
+        ids, ownership is pure arithmetic, and no KV pages ever cross
+        ICI — only [B, Hq, L, (D+2)] of states. Prefill chunks (L > 16)
+        all-gather the local pages and run the single-pool kernel
+        (chunked prefill is a small share of serving time; see
+        PERFORMANCE.md)."""
+        B, Hq, L, D = q.shape
+        P_pages, Hkv, ps, _ = key_pages.shape
+        scale = (D**-0.5) if scale is None else float(scale)
+        assert mask in ("causal", None)
+        mesh = self.scfg.mesh
+        n_shards = mesh.shape[self.axis]
+        assert P_pages % n_shards == 0, (
+            f"num_pages {P_pages} must divide over {n_shards} shards; pad "
+            "the pool (enable_paged_attention(num_pages=...))"
+        )
+        P_loc = P_pages // n_shards
+        pool_spec = P(self.axis, None, None, None)
+        inner = self.inner
+        interpret = self.interpret
+
+        if L > 16:
+            from ..kernels.paged_attention import paged_attention
+
+            def gathered(q, kp, vp, bt, lens):
+                kp_full = jax.lax.all_gather(kp, self.axis, axis=0, tiled=True)
+                vp_full = jax.lax.all_gather(vp, self.axis, axis=0, tiled=True)
+                return paged_attention(
+                    q, kp_full, vp_full, bt, lens, scale=scale, mask=mask,
+                    impl="xla",
+                )
+
+            return shard_map(
+                gathered, mesh=mesh,
+                in_specs=(P(), pool_spec, pool_spec, P(), P()),
+                out_specs=P(), check_vma=False,
+            )(q, key_pages, value_pages, block_table, context_lens)
+
+        def local(q, kp, vp, bt, lens):
+            shard = jax.lax.axis_index(self.axis)
+            base = shard * P_loc
+            if inner == "pallas":
+                from ..kernels.paged_attention_pallas import paged_decode_state
+
+                o, m, l = paged_decode_state(
+                    q, kp, vp, bt, lens, base, scale=scale,
+                    interpret=interpret,
+                )
+            else:
+                o, m, l = paged_decode_state_xla(
+                    q, kp, vp, bt, lens, base, scale
+                )
+            return combine_softmax_states(o, m, l, self.axis)
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), pool_spec, pool_spec, P(), P()),
+            out_specs=P(), check_vma=False,
+        )(q, key_pages, value_pages, block_table, context_lens)
