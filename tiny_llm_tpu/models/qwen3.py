@@ -35,6 +35,7 @@ from ..ops.norm import rms_norm
 from ..ops.quantize import QuantizedTensor, quantized_linear
 from ..ops.embedding import quantized_embedding_gather
 from ..ops.rope import apply_rope, rope_tables
+from ..ops.sampler import make_sampler
 from ..utils import pytree_dataclass, static_field
 
 
@@ -496,23 +497,34 @@ def forward_decode_burst_dense(
     window: int,
     steps: int,
     attn_impl: str | None = None,
+    temp: float = 0.0,
+    top_k: int | None = None,
+    top_p: float | None = None,
+    rng0: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """K greedy decode steps over the dense slab in one dispatch.
+    """K decode steps over the dense slab in one dispatch. Greedy when
+    temp == 0; otherwise temperature/top-k/top-p sampling ON DEVICE
+    (reference samplers run host-side per token, sampler.py:5-25 — here
+    the whole burst including the categorical draw stays in the scan).
     `window` must cover offsets0 + steps."""
+    sample = None if temp == 0 else make_sampler(temp, top_p, top_k)
 
-    def body(carry, _):
+    def body(carry, step_key):
         tokens, offsets, ks, vs = carry
         logits, ks, vs = forward_step(
             params, cfg, rope_tabs, tokens[:, None], offsets, ks, vs,
             window=window, logits_to_keep=1, attn_impl=attn_impl,
         )
-        nxt = jnp.argmax(logits[:, -1, :].astype(jnp.float32), axis=-1).astype(
-            jnp.int32
-        )
+        lp = logits[:, -1, :].astype(jnp.float32)
+        if sample is None:
+            nxt = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+        else:
+            nxt = sample(jax.nn.log_softmax(lp, axis=-1), step_key)
         return (nxt, offsets + 1, ks, vs), nxt
 
+    xs = None if sample is None else jax.random.split(rng0, steps)
     (_, _, keys, values), toks = jax.lax.scan(
-        body, (tokens0, offsets0, keys, values), length=steps
+        body, (tokens0, offsets0, keys, values), xs=xs, length=steps
     )
     return toks, keys, values
 
@@ -529,9 +541,14 @@ def forward_decode_burst_paged(
     *,
     steps: int,
     attn_impl: str | None = None,
+    temp: float = 0.0,
+    top_k: int | None = None,
+    top_p: float | None = None,
+    rng0: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """K greedy decode steps in ONE dispatch (lax.scan over the model
-    step, argmax fed back on-device). Returns (tokens [steps, B], pages).
+    """K decode steps in ONE dispatch (lax.scan over the model step,
+    argmax — or the temp/top-k/top-p sampler when temp > 0 — fed back
+    on-device). Returns (tokens [steps, B], pages).
 
     The host-side dispatch-ahead loop this enables is what keeps the chip
     busy when every host<->device round trip costs ~70 ms (remote-tunnel
@@ -539,20 +556,24 @@ def forward_decode_burst_paged(
     until the host inspects the burst — their tokens are discarded and
     their pages must have `steps` tokens of slack.
     """
+    sample = None if temp == 0 else make_sampler(temp, top_p, top_k)
 
-    def body(carry, _):
+    def body(carry, step_key):
         tokens, offsets, kp, vp = carry
         logits, kp, vp = forward_step_paged(
             params, cfg, rope_tabs, tokens[:, None], offsets, kp, vp,
             block_table, logits_to_keep=1, attn_impl=attn_impl,
         )
-        nxt = jnp.argmax(logits[:, -1, :].astype(jnp.float32), axis=-1).astype(
-            jnp.int32
-        )
+        lp = logits[:, -1, :].astype(jnp.float32)
+        if sample is None:
+            nxt = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+        else:
+            nxt = sample(jax.nn.log_softmax(lp, axis=-1), step_key)
         return (nxt, offsets + 1, kp, vp), nxt
 
+    xs = None if sample is None else jax.random.split(rng0, steps)
     (_, _, kp, vp), toks = jax.lax.scan(
-        body, (tokens0, offsets0, key_pages, value_pages), length=steps
+        body, (tokens0, offsets0, key_pages, value_pages), xs=xs, length=steps
     )
     return toks, kp, vp
 
@@ -645,14 +666,14 @@ class Qwen3Model:
             functools.partial(
                 forward_decode_burst_paged, cfg=cfg, attn_impl=attn_impl
             ),
-            static_argnames=("steps",),
+            static_argnames=("steps", "temp", "top_k", "top_p"),
             donate_argnames=("key_pages", "value_pages"),
         )
         self._dense_burst_jit = jax.jit(
             functools.partial(
                 forward_decode_burst_dense, cfg=cfg, attn_impl=attn_impl
             ),
-            static_argnames=("window", "steps"),
+            static_argnames=("window", "steps", "temp", "top_k", "top_p"),
             donate_argnames=("keys", "values"),
         )
         self.page_pool = None
@@ -784,11 +805,18 @@ class Qwen3Model:
         cache: DenseKVCache,
         first_tokens: np.ndarray,  # [B] int32
         steps: int,
+        *,
+        temp: float = 0.0,
+        top_k: int | None = None,
+        top_p: float | None = None,
+        rng: jax.Array | None = None,
     ) -> np.ndarray:
-        """K greedy steps over a dense cache in one dispatch; one fetch.
+        """K decode steps over a dense cache in one dispatch; one fetch.
+        Greedy by default; temp > 0 samples on-device (pass a PRNG `rng`).
         Returns int32 [steps, B]."""
         offset = cache.offset
         assert offset + steps <= cache.max_seq_len
+        assert temp == 0 or rng is not None, "sampled burst needs rng"
         window = bucket_for(offset + steps, maximum=cache.max_seq_len)
         offsets = np.full((cache.batch_size,), offset, np.int32)
         toks, keys, values = self._dense_burst_jit(
@@ -800,6 +828,10 @@ class Qwen3Model:
             values=cache.values,
             window=window,
             steps=steps,
+            temp=temp,
+            top_k=top_k,
+            top_p=top_p,
+            rng0=rng,
         )
         cache.update_tensors(keys, values, offset + steps)
         return np.asarray(jax.device_get(toks), np.int32)
@@ -809,14 +841,21 @@ class Qwen3Model:
         cache,  # PagedBatchingKVCache
         first_tokens: np.ndarray,  # [B] int32 — next token per slot
         steps: int,
+        *,
+        temp: float = 0.0,
+        top_k: int | None = None,
+        top_p: float | None = None,
+        rng: jax.Array | None = None,
     ) -> np.ndarray:
-        """Greedy-decode `steps` tokens for every active slot in ONE device
-        dispatch + ONE host fetch. Returns int32 [steps, B]. Idle slots
+        """Decode `steps` tokens for every active slot in ONE device
+        dispatch + ONE host fetch (greedy, or on-device temp/top-k/top-p
+        sampling when temp > 0). Returns int32 [steps, B]. Idle slots
         produce garbage. Slots advance by `steps` (the scheduler truncates
         at EOS and rewinds or evicts afterwards)."""
         from ..kv.paged import PagedBatchingKVCache
 
         assert isinstance(cache, PagedBatchingKVCache)
+        assert temp == 0 or rng is not None, "sampled burst needs rng"
         pool = cache.pool
         offsets_np = cache.offsets
         for c in cache.slots:
@@ -832,6 +871,10 @@ class Qwen3Model:
             value_pages=pool.value_pages,
             block_table=jnp.asarray(table_np),
             steps=steps,
+            temp=temp,
+            top_k=top_k,
+            top_p=top_p,
+            rng0=rng,
         )
         pool.update_tensors(kp, vp)
         out = np.asarray(jax.device_get(toks), np.int32)

@@ -15,15 +15,22 @@ from __future__ import annotations
 import time
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .metrics import ServingMetrics
+from ..ops.sampler import make_sampler
 
 
 def _argmax_last(logits) -> np.ndarray:
     lp = logits[:, -1, :].astype(jnp.float32)
     return np.asarray(jnp.argmax(lp, axis=-1))
+
+
+def _sample_last(logits, sampler: Callable, key) -> np.ndarray:
+    lp = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32), axis=-1)
+    return np.asarray(sampler(lp, key))
 
 
 class Request:
@@ -36,7 +43,11 @@ class Request:
         prompt: str,
         prefill_max_step: int = 128,
         prompt_idx: int = 0,
+        sampler: Callable | None = None,
+        rng: jax.Array | None = None,
     ):
+        self.sampler = sampler
+        self.rng = rng
         self.prompt = prompt
         self.model = model
         self.kv_cache = model.create_kv_cache()
@@ -84,7 +95,12 @@ class Request:
         self.kv_cache.materialize()
         if self.offset == len(self.prefill_tokens):
             self.is_prefill_done = True
-            self.decode_done(int(_argmax_last(logits)[0]), update_offset=False)
+            if self.sampler is not None:
+                self.rng, sub = jax.random.split(self.rng)
+                tok = int(_sample_last(logits, self.sampler, sub)[0])
+            else:
+                tok = int(_argmax_last(logits)[0])
+            self.decode_done(tok, update_offset=False)
 
     def decode_done(self, token: int, update_offset: bool = True) -> None:
         if self.is_done:
@@ -114,14 +130,22 @@ def batch_generate(
     metrics: ServingMetrics | None = None,
     decode_burst: int = 8,
     prefill_chunks_per_iter: int | None = None,
+    temp: float = 0.0,
+    top_k: int | None = None,
+    top_p: float | None = None,
+    seed: int = 0,
 ) -> list[tuple[int, str]]:
     """Serve `prompts` with continuous batching; returns (prompt_idx, text).
 
     Scheduler loop parity with the reference (batch.py:120-221): each
     iteration performs at most one prefill chunk, then one batched decode
     step over the slot cache, then handles evictions and admissions.
+    temp > 0 enables temperature/top-k/top-p sampling: on-device inside
+    decode bursts, host-side on the single-step fallback path.
     """
     del use_paged  # the cache objects carry the paged/dense distinction
+    sampler = make_sampler(temp, top_p, top_k) if temp > 0 else None
+    base_key = jax.random.key(seed) if temp > 0 else None
     prompts = list(prompts)
     if prefill_chunks_per_iter is None:
         # Rate-match admission to burst decode: each iteration retires
@@ -145,7 +169,13 @@ def batch_generate(
         for _ in range(prefill_chunks_per_iter):
             if prompts and pending is None:
                 pending = Request(
-                    model, tokenizer, prompts.pop(0), prefill_step, next_idx
+                    model, tokenizer, prompts.pop(0), prefill_step, next_idx,
+                    sampler=sampler,
+                    rng=(
+                        jax.random.fold_in(base_key, next_idx)
+                        if sampler is not None
+                        else None
+                    ),
                 )
                 next_idx += 1
             if pending is None:
@@ -191,9 +221,16 @@ def batch_generate(
                 and getattr(kv_cache, "owns_added_requests", False)
             )
             if can_burst:
-                toks = model.decode_burst(
-                    kv_cache, np.asarray(next_tokens, np.int32), decode_burst
-                )  # [K, B]
+                if sampler is not None:
+                    base_key, sub = jax.random.split(base_key)
+                    toks = model.decode_burst(
+                        kv_cache, np.asarray(next_tokens, np.int32), decode_burst,
+                        temp=temp, top_k=top_k, top_p=top_p, rng=sub,
+                    )  # [K, B]
+                else:
+                    toks = model.decode_burst(
+                        kv_cache, np.asarray(next_tokens, np.int32), decode_burst
+                    )  # [K, B]
             else:
                 logits = model(
                     jnp.asarray(next_tokens, dtype=jnp.int32).reshape(-1, 1),
@@ -201,7 +238,11 @@ def batch_generate(
                     kv_cache,
                     logits_to_keep=1,
                 )
-                toks = _argmax_last(logits)[None, :]  # [1, B]
+                if sampler is not None:
+                    base_key, sub = jax.random.split(base_key)
+                    toks = _sample_last(logits, sampler, sub)[None, :]  # [1, B]
+                else:
+                    toks = _argmax_last(logits)[None, :]  # [1, B]
             for i in range(batch_size):
                 req = decode_requests[i]
                 if req is None:
