@@ -1,0 +1,236 @@
+"""Real-checkpoint end-to-end validation (VERDICT.md round-1 item #1).
+
+The reference gates real-model tests on a downloaded Qwen3 checkpoint
+(/root/reference/tests_refsol/utils.py:119-149) and runs e2e against it
+in CI (.github/workflows/macos.yml:17-44). This environment has zero
+egress, so the artifact is a *genuine* HF checkpoint built locally by
+scripts/make_real_checkpoint.py: `transformers.Qwen3ForCausalLM`
+random-init weights saved with `save_pretrained` (real key names /
+safetensors layout / config.json), plus a real byte-level BPE tokenizer
+trained with the `tokenizers` library and a ChatML chat template.
+
+The oracle is the independent HF implementation's own forward: the
+builder subprocess records greedy tokens and prompt logits (torch and
+XLA:CPU cannot share a process — their OpenMP runtimes deadlock — so the
+oracle is precomputed, never imported here). Verified end-to-end:
+loader key mapping, safetensors ingestion, f32 numerical parity (logits
+agree to ~1e-5), 64-token greedy agreement, chat template + BPE
+round-trip, dense-vs-paged and burst-vs-per-step equality on real
+weights, W4A16 quantize-at-load, and the HF per-expert MoE path.
+Remaining unverified (needs the downloadable artifact): numerics against
+the *trained* weight distribution and the production 151k vocabulary.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tiny_llm_tpu.models.loader import load_config, load_params
+from tiny_llm_tpu.models.qwen3 import Qwen3Model
+from tiny_llm_tpu.tokenizer import load_tokenizer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUILDER = os.path.join(REPO, "scripts", "make_real_checkpoint.py")
+ARTIFACTS = os.path.join(REPO, ".artifacts")
+
+transformers = pytest.importorskip("transformers")
+
+
+def _build(variant: str, extra: list[str]) -> str:
+    """Build (or reuse) a checkpoint artifact keyed by the builder hash."""
+    out = os.path.join(ARTIFACTS, variant)
+    with open(BUILDER, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    stamp = os.path.join(out, ".builder-sha256")
+    if os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read().strip() == digest and os.path.exists(
+                os.path.join(out, "oracle", "greedy.json")
+            ):
+                return out
+    env = dict(os.environ, HF_HUB_OFFLINE="1", TRANSFORMERS_OFFLINE="1")
+    subprocess.run(
+        [sys.executable, BUILDER, "--out", out, *extra],
+        check=True,
+        env=env,
+        timeout=600,
+        capture_output=True,
+    )
+    with open(stamp, "w") as f:
+        f.write(digest)
+    return out
+
+
+@pytest.fixture(scope="session")
+def ckpt_dir() -> str:
+    return _build("qwen3-tiny-real", [])
+
+
+@pytest.fixture(scope="session")
+def moe_ckpt_dir() -> str:
+    return _build("qwen3-tiny-moe", ["--moe"])
+
+
+def _oracle(d: str) -> dict:
+    with open(os.path.join(d, "oracle", "greedy.json")) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer + chat template
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_chat_template_and_roundtrip(ckpt_dir):
+    tok = load_tokenizer(ckpt_dir)
+    o = _oracle(ckpt_dir)
+    text = tok.apply_chat_template(
+        o["messages"], tokenize=False, add_generation_prompt=True
+    )
+    assert text == o["prompt_text"]
+    assert tok.encode(text) == o["prompt_ids"]
+    # Multi-byte UTF-8 through a real BPE (merges can split codepoints).
+    sample = "naïve café — 你好世界 🌍"
+    assert tok.decode(tok.encode(sample)) == sample
+
+
+# ---------------------------------------------------------------------------
+# f32 numerical parity + greedy agreement vs the independent HF oracle
+# ---------------------------------------------------------------------------
+
+
+def test_f32_prompt_logits_match_oracle(ckpt_dir):
+    o = _oracle(ckpt_dir)
+    ref = np.load(os.path.join(ckpt_dir, "oracle", "prefix_logits.npy"))
+    params, cfg = load_params(ckpt_dir, quantized=False, dtype=jnp.float32)
+    model = Qwen3Model(params, cfg)
+    ids = jnp.asarray([o["prompt_ids"]], dtype=jnp.int32)
+    ours = np.asarray(model.forward_full(ids)[0], dtype=np.float32)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def _greedy_ids(model, prompt_ids: list[int], steps: int) -> list[int]:
+    """KV-cached greedy continuation, no EOS stop (oracle decodes through
+    EOS: random-init logits make EOS reachable)."""
+    cache = model.create_kv_cache()
+    try:
+        out: list[int] = []
+        tokens = jnp.asarray([prompt_ids], dtype=jnp.int32)
+        offset = 0
+        for _ in range(steps):
+            logits = model(tokens, offset, cache, logits_to_keep=1)
+            nxt = int(jnp.argmax(logits[0, -1, :].astype(jnp.float32)))
+            out.append(nxt)
+            offset += tokens.shape[1]
+            tokens = jnp.asarray([[nxt]], dtype=jnp.int32)
+        return out
+    finally:
+        cache.release()
+
+
+def test_f32_greedy_64_tokens_match_oracle(ckpt_dir):
+    o = _oracle(ckpt_dir)
+    params, cfg = load_params(ckpt_dir, quantized=False, dtype=jnp.float32)
+    model = Qwen3Model(params, cfg, max_seq_len=256)
+    ours = _greedy_ids(model, o["prompt_ids"], len(o["greedy_ids"]))
+    assert ours == o["greedy_ids"]
+
+
+# ---------------------------------------------------------------------------
+# Cross-implementation equivalence on real weights
+# ---------------------------------------------------------------------------
+
+
+def test_dense_vs_paged_equal_on_real_weights(ckpt_dir):
+    o = _oracle(ckpt_dir)
+    params, cfg = load_params(ckpt_dir, quantized=False, dtype=jnp.float32)
+    dense = Qwen3Model(params, cfg, max_seq_len=256)
+    want = _greedy_ids(dense, o["prompt_ids"], 32)
+
+    paged = Qwen3Model(params, cfg, max_seq_len=256)
+    paged.enable_paged_attention(page_size=16, num_pages=64)
+    got = _greedy_ids(paged, o["prompt_ids"], 32)
+    assert got == want
+
+
+def test_burst_vs_per_step_equal_on_real_weights(ckpt_dir):
+    o = _oracle(ckpt_dir)
+    params, cfg = load_params(ckpt_dir, quantized=False, dtype=jnp.float32)
+    model = Qwen3Model(params, cfg, max_seq_len=256)
+    per_step = _greedy_ids(model, o["prompt_ids"], 32)
+
+    model2 = Qwen3Model(params, cfg, max_seq_len=256)
+    cache = model2.create_kv_cache()
+    try:
+        prompt = jnp.asarray([o["prompt_ids"]], dtype=jnp.int32)
+        logits = model2(prompt, 0, cache, logits_to_keep=1)
+        first = int(jnp.argmax(logits[0, -1, :].astype(jnp.float32)))
+        burst = model2.decode_burst_dense(
+            cache, np.asarray([first], dtype=np.int32), 31
+        )
+        got = [first] + [int(t) for t in np.asarray(burst)[:, 0]]
+    finally:
+        cache.release()
+    assert got == per_step
+
+
+def test_quantized_load_generates(ckpt_dir):
+    """W4A16 quantize-at-load on real safetensors: logits stay correlated
+    with the f32 model (quantization noise bounded) and greedy runs."""
+    o = _oracle(ckpt_dir)
+    ids = jnp.asarray([o["prompt_ids"]], dtype=jnp.int32)
+    p32, cfg = load_params(ckpt_dir, quantized=False, dtype=jnp.float32)
+    ref = np.asarray(Qwen3Model(p32, cfg).forward_full(ids)[0, -1], dtype=np.float32)
+    pq, cfgq = load_params(ckpt_dir, quantized=True)
+    q = Qwen3Model(pq, cfgq, max_seq_len=256)
+    got = np.asarray(q.forward_full(ids)[0, -1], dtype=np.float32)
+    cos = float(
+        np.dot(ref, got) / (np.linalg.norm(ref) * np.linalg.norm(got) + 1e-9)
+    )
+    # Random-normal weights are the worst case for W4 g128 (no channel
+    # structure): cos ~0.92 through 4 layers. Trained checkpoints sit much
+    # higher; the gate here is "correlated, not garbage".
+    assert cos > 0.85, f"quantized logits decorrelated: cos={cos}"
+    toks = _greedy_ids(q, o["prompt_ids"], 8)
+    assert len(toks) == 8 and all(0 <= t < cfg.vocab_size for t in toks)
+
+
+# ---------------------------------------------------------------------------
+# MoE checkpoint: HF per-expert tensors through the loader
+# ---------------------------------------------------------------------------
+
+
+def test_moe_f32_prompt_logits_match_oracle(moe_ckpt_dir):
+    o = _oracle(moe_ckpt_dir)
+    ref = np.load(os.path.join(moe_ckpt_dir, "oracle", "prefix_logits.npy"))
+    params, cfg = load_params(moe_ckpt_dir, quantized=False, dtype=jnp.float32)
+    assert cfg.num_experts == 8 and cfg.num_experts_per_tok == 2
+    model = Qwen3Model(params, cfg)
+    ids = jnp.asarray([o["prompt_ids"]], dtype=jnp.int32)
+    ours = np.asarray(model.forward_full(ids)[0], dtype=np.float32)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_moe_f32_greedy_matches_oracle(moe_ckpt_dir):
+    o = _oracle(moe_ckpt_dir)
+    params, cfg = load_params(moe_ckpt_dir, quantized=False, dtype=jnp.float32)
+    model = Qwen3Model(params, cfg, max_seq_len=256)
+    ours = _greedy_ids(model, o["prompt_ids"], len(o["greedy_ids"]))
+    assert ours == o["greedy_ids"]
+
+
+def test_config_parses_hf_json(ckpt_dir, moe_ckpt_dir):
+    cfg = load_config(ckpt_dir)
+    assert cfg.num_hidden_layers == 4 and cfg.head_dim == 64
+    assert not cfg.is_moe_layer(0)
+    mcfg = load_config(moe_ckpt_dir)
+    assert mcfg.is_moe_layer(0) and mcfg.moe_intermediate_size == 128

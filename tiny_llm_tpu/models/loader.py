@@ -42,9 +42,10 @@ def _maybe_quantize(
     group_size: int,
     bits: int,
     layout: str | None = None,
+    dtype=jnp.bfloat16,
 ):
     if not quantized:
-        return w.astype(jnp.bfloat16)
+        return w.astype(dtype)
     if w.ndim == 2:
         return quantize(w, group_size=group_size, bits=bits, layout=layout)
     # Stacked expert weights [E, N, K] — both ragged-kernel layouts work;
@@ -263,7 +264,7 @@ def tiny_test_config(num_hidden_layers: int = 1, **overrides) -> Qwen3Config:
 # ---------------------------------------------------------------------------
 
 
-def _load_moe_mlp(t, p, cfg, quantized, group_size, bits):
+def _load_moe_mlp(t, p, cfg, quantized, group_size, bits, dtype=jnp.bfloat16):
     """MoE layer from either checkpoint convention:
 
     * MLX switch_mlp export (reference qwen3_week3.py:258-272): stacked
@@ -290,7 +291,7 @@ def _load_moe_mlp(t, p, cfg, quantized, group_size, bits):
         w = jnp.asarray(np.asarray(t[f"{prefix}.weight"]).astype(np.float32))
         # Router stays dense: E x D is tiny and routing logits are
         # precision-sensitive (argpartition boundaries).
-        return w.astype(jnp.bfloat16)
+        return w.astype(dtype)
 
     sw = f"{p}.mlp.switch_mlp"
 
@@ -317,7 +318,7 @@ def _load_moe_mlp(t, p, cfg, quantized, group_size, bits):
                     ]
                 )
             )
-        return _maybe_quantize(w, quantized, group_size, bits)
+        return _maybe_quantize(w, quantized, group_size, bits, dtype=dtype)
 
     return MoEParams(
         w_router=router(),
@@ -353,8 +354,13 @@ def load_params(
     quantized: bool = True,
     group_size: int = 128,
     bits: int = 4,
+    dtype=jnp.bfloat16,
 ) -> tuple[Qwen3Params, Qwen3Config]:
-    """Load a HF-format Qwen3 checkpoint into a params pytree."""
+    """Load a HF-format Qwen3 checkpoint into a params pytree.
+
+    `dtype` applies to dense (non-quantized) weights and norm vectors:
+    bfloat16 for serving; float32 for oracle-equivalence tests against an
+    independent f32 reference forward (VERDICT.md round-1 item #1)."""
     cfg = cfg or load_config(model_dir)
     t = _load_safetensors(model_dir)
 
@@ -371,10 +377,10 @@ def load_params(
                 layout=layout,
             )
         w = jnp.asarray(np.asarray(t[w_key]).astype(np.float32))
-        return _maybe_quantize(w, quantized, group_size, bits, layout=layout)
+        return _maybe_quantize(w, quantized, group_size, bits, layout=layout, dtype=dtype)
 
     def get_array(name: str) -> jax.Array:
-        return jnp.asarray(np.asarray(t[name]).astype(np.float32)).astype(jnp.bfloat16)
+        return jnp.asarray(np.asarray(t[name]).astype(np.float32)).astype(dtype)
 
     layers = []
     for i in range(cfg.num_hidden_layers):
@@ -388,7 +394,7 @@ def load_params(
             k_norm=get_array(f"{p}.self_attn.k_norm.weight"),
         )
         if cfg.is_moe_layer(i):
-            mlp = _load_moe_mlp(t, p, cfg, quantized, group_size, bits)
+            mlp = _load_moe_mlp(t, p, cfg, quantized, group_size, bits, dtype=dtype)
         else:
             mlp = MLPParams(
                 w_gate=get_linear(f"{p}.mlp.gate_proj"),

@@ -159,7 +159,9 @@ def _linear(x: jax.Array, w) -> jax.Array:
 def _embed(params: Qwen3Params, tokens: jax.Array) -> jax.Array:
     if isinstance(params.embedding, QuantizedTensor):
         return quantized_embedding_gather(params.embedding, tokens)
-    return jnp.take(params.embedding, tokens, axis=0).astype(jnp.bfloat16)
+    # Dense embeddings keep their stored dtype (bf16 for serving loads,
+    # f32 for oracle-mode loads) so the whole forward runs in that dtype.
+    return jnp.take(params.embedding, tokens, axis=0)
 
 
 def _lm_head(params: Qwen3Params, h: jax.Array) -> jax.Array:
@@ -638,6 +640,14 @@ class Qwen3Model:
         self.vocab_size = cfg.vocab_size
         self.max_seq_len = max_seq_len or cfg.max_position_embeddings
         self.attn_impl = attn_impl
+        # Activation dtype drives KV slab/page dtype: bf16 for serving
+        # (quantized or bf16 weights), f32 in oracle mode (f32 dense load).
+        emb = params.embedding
+        self.dtype = (
+            emb.dtype
+            if not isinstance(emb, QuantizedTensor)
+            else jnp.bfloat16
+        )
         self._rope_tables = rope_tables(
             cfg.head_dim, self.max_seq_len, base=cfg.rope_theta
         )
@@ -698,6 +708,7 @@ class Qwen3Model:
             num_pages=num_pages,
             page_size=page_size,
             head_dim=self.cfg.head_dim,
+            dtype=self.dtype,
         )
         # One FIXED block-table width for every step: over-provisioned
         # widths are nearly free (clamped index maps elide the DMA of dead
@@ -721,6 +732,7 @@ class Qwen3Model:
             num_kv_heads=self.cfg.num_key_value_heads,
             max_seq_len=max_seq_len or self.max_seq_len,
             head_dim=self.cfg.head_dim,
+            dtype=self.dtype,
         )
 
     def create_batching_kv_cache(
@@ -736,6 +748,7 @@ class Qwen3Model:
             num_kv_heads=self.cfg.num_key_value_heads,
             max_seq_len=max_seq_len or self.max_seq_len,
             head_dim=self.cfg.head_dim,
+            dtype=self.dtype,
         )
 
     # -- reference-parity call ----------------------------------------------
