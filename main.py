@@ -55,6 +55,12 @@ def main() -> None:
     p.add_argument("--checkpoint-path", default=None, help="HF checkpoint dir")
     p.add_argument("--draft-model", default=None)
     p.add_argument("--draft-checkpoint-path", default=None)
+    p.add_argument(
+        "--no-spec-guard",
+        action="store_true",
+        help="run speculative decoding even if the measured draft/target "
+        "step-time ratio cannot break even",
+    )
     p.add_argument("--prompt", default="Give me a short introduction to LLMs.")
     p.add_argument("--max-tokens", type=int, default=256)
     p.add_argument("--max-seq-len", type=int, default=2048)
@@ -83,7 +89,7 @@ def main() -> None:
         )
         out = speculative_generate(
             draft, model, draft_tok, tok, args.prompt, max_tokens=args.max_tokens,
-            on_token=stream,
+            on_token=stream, auto_disable=not args.no_spec_guard,
         )
     elif args.no_cache:
         sampler = make_sampler(args.temp, args.top_p, args.top_k)

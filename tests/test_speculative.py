@@ -12,6 +12,7 @@ import pytest
 from tiny_llm_tpu.generate import (
     simple_generate_with_kv_cache,
     speculative_generate,
+    speculative_max_speedup,
 )
 from tiny_llm_tpu.models import Qwen3Model, random_params, tiny_test_config
 from .utils import FakeTokenizer
@@ -86,6 +87,49 @@ def test_spec_decode_rejects_mismatched_tokenizers(target):
 
     with pytest.raises(ValueError):
         speculative_generate(target, target, OtherEos(), FakeTokenizer(), "abc")
+
+
+def test_speculative_max_speedup_bound():
+    # a draft as slow as the target can never win: K+1 draft steps +
+    # one verify always exceed K+1 target steps
+    assert speculative_max_speedup(1.0, 1.0, 1.0, 4) < 1.0
+    # the reference regime: target 13 ms, draft 2 ms, K=4 clearly pays
+    assert speculative_max_speedup(13.0, 2.0, 13.0, 4) > 2.0
+    # a bandwidth-bound 4B target vs a 0.6B draft on one v5e (measured
+    # round-1 regime: ~3.4 ms target, ~1.3 ms draft): bound sits near 1
+    assert 0.5 < speculative_max_speedup(3.4, 1.3, 3.4, 4) < 2.0
+
+
+def test_spec_guard_falls_back_losslessly(target, draft_same, monkeypatch):
+    """With an equal-speed draft the guard must disable speculation,
+    warn, and still produce the exact greedy output."""
+    import time as _time
+
+    tok = FakeTokenizer()
+    expected = simple_generate_with_kv_cache(target, tok, "guarded", max_tokens=6)
+    # pin the probe's clock so the decision is deterministic on CI: every
+    # interval measures 1.0s, so t_draft == t_target and the bound is < 1
+    counter = iter(range(10_000))
+    monkeypatch.setattr(_time, "perf_counter", lambda: float(next(counter)))
+
+    with pytest.warns(UserWarning, match="speculative decoding disabled"):
+        got = speculative_generate(
+            draft_same, target, tok, tok, "guarded",
+            proposal_length=4, max_tokens=6, auto_disable=True,
+        )
+    assert got == expected
+
+
+def test_spec_guard_keeps_fast_draft(target, draft_different):
+    """The guard must not fire when the draft clearly pays; output is
+    still lossless either way."""
+    tok = FakeTokenizer()
+    expected = simple_generate_with_kv_cache(target, tok, "keep", max_tokens=6)
+    got = speculative_generate(
+        draft_different, target, tok, tok, "keep",
+        proposal_length=3, max_tokens=6, auto_disable=False,
+    )
+    assert got == expected
 
 
 def test_spec_decode_on_paged_caches(target):

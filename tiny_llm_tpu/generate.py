@@ -15,6 +15,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .tokenizer import StreamingDetokenizer
+
+
+class _Stream:
+    """Binds a StreamingDetokenizer to the cumulative on_token contract.
+
+    on_token receives the full text so far (cumulative prefixes), but
+    the per-token host cost is O(1): only the detokenizer's bounded
+    window is re-decoded, never the whole output.
+    """
+
+    def __init__(self, tokenizer, on_token):
+        self._detok = StreamingDetokenizer(tokenizer)
+        self._on_token = on_token
+        self._last_sent: str | None = None
+
+    def feed(self, token_ids) -> None:
+        changed = False
+        for tid in token_ids:
+            if self._detok.add_token(tid):
+                changed = True
+        if changed and self._on_token is not None:
+            self._last_sent = self._detok.text
+            self._on_token(self._last_sent)
+
+    def close(self, final_text: str) -> None:
+        """Emit the authoritative final text if it wasn't already sent."""
+        self._detok.finalize()
+        if self._on_token is not None and final_text != self._last_sent:
+            self._on_token(final_text)
+
 
 def _eos_ids(tokenizer) -> set[int]:
     eos = getattr(tokenizer, "eos_token_ids", None)
@@ -47,6 +78,7 @@ def simple_generate(
     eos = _eos_ids(tokenizer)
     out_ids: list[int] = []
     key = jax.random.key(seed)
+    stream = _Stream(tokenizer, on_token)
     for _ in range(max_tokens):
         logits = model(jnp.asarray([tokens], dtype=jnp.int32), logits_to_keep=1)
         lp = _logprobs(logits[:, -1, :])
@@ -60,9 +92,10 @@ def simple_generate(
             break
         tokens.append(tok)
         out_ids.append(tok)
-        if on_token is not None:
-            on_token(tokenizer.decode(out_ids))
-    return tokenizer.decode(out_ids)
+        stream.feed([tok])
+    text = tokenizer.decode(out_ids)
+    stream.close(text)
+    return text
 
 
 def simple_generate_with_kv_cache(
@@ -79,6 +112,7 @@ def simple_generate_with_kv_cache(
     eos = _eos_ids(tokenizer)
     out_ids: list[int] = []
     key = jax.random.key(seed)
+    stream = _Stream(tokenizer, on_token)
     try:
         tokens = jnp.asarray([tokenizer.encode(prompt)], dtype=jnp.int32)
         offset = 0
@@ -94,13 +128,29 @@ def simple_generate_with_kv_cache(
             if tok in eos:
                 break
             out_ids.append(tok)
-            if on_token is not None:
-                on_token(tokenizer.decode(out_ids))
+            stream.feed([tok])
             offset += tokens.shape[1]
             tokens = jnp.asarray([[tok]], dtype=jnp.int32)
-        return tokenizer.decode(out_ids)
+        text = tokenizer.decode(out_ids)
+        stream.close(text)
+        return text
     finally:
         _release(kv_cache)
+
+
+def speculative_max_speedup(
+    t_target: float, t_draft: float, t_verify: float, proposal_length: int
+) -> float:
+    """Upper bound on speculative speedup, reached at perfect acceptance.
+
+    One fully-accepted round emits K+1 tokens and costs K proposal steps
+    plus one draft catch-up step plus one target verify forward; plain
+    greedy emits the same K+1 tokens in (K+1) target steps. Any rejection
+    only lowers the ratio, so if this bound is < 1 speculation cannot win
+    at any acceptance rate.
+    """
+    k = proposal_length
+    return ((k + 1) * t_target) / ((k + 1) * t_draft + t_verify)
 
 
 def speculative_generate(
@@ -112,6 +162,7 @@ def speculative_generate(
     proposal_length: int = 4,
     max_tokens: int = 512,
     on_token: Callable[[str], None] | None = None,
+    auto_disable: bool = False,
 ) -> str:
     """Draft/target speculative decoding with cache rewind.
 
@@ -120,6 +171,13 @@ def speculative_generate(
     proposals, one-forward target verification with logits_to_keep,
     longest-prefix acceptance, rewind of both caches for rejected
     suffixes, bonus token + draft catch-up on full acceptance.
+
+    With ``auto_disable=True``, warm decode steps of both models are
+    timed after prefill; if even perfect acceptance could not beat plain
+    greedy decode (``speculative_max_speedup`` < 1 — e.g. a draft that
+    is not meaningfully faster than an already bandwidth-bound target),
+    a warning is emitted and generation continues target-only. The probe
+    steps are rewound, so the guard never changes the output.
     """
     if (
         not isinstance(proposal_length, int)
@@ -128,24 +186,33 @@ def speculative_generate(
     ):
         raise ValueError("proposal_length must be a non-negative integer")
 
+    # Speculation is only sound when both models speak the same token id
+    # space; these gates refuse mismatched tokenizer pairs up front.
     target_prompt = [int(t) for t in tokenizer.encode(prompt)]
     draft_prompt = [int(t) for t in draft_tokenizer.encode(prompt)]
     if not target_prompt:
-        raise ValueError("prompt must encode to at least one token")
+        raise ValueError("prompt produced no tokens under the target tokenizer")
     if target_prompt != draft_prompt:
-        raise ValueError("draft and target tokenizers encode the prompt differently")
+        raise ValueError(
+            "speculative decoding needs identical prompt ids from both "
+            "tokenizers, but the draft tokenizer produced a different encoding"
+        )
     if _eos_ids(tokenizer) != _eos_ids(draft_tokenizer):
-        raise ValueError("draft and target tokenizers use different EOS token ids")
+        raise ValueError("EOS token ids differ between the draft and target tokenizers")
     tgv = getattr(tokenizer, "get_vocab", None)
     dgv = getattr(draft_tokenizer, "get_vocab", None)
     if not callable(tgv) or not callable(dgv):
-        raise ValueError("draft and target tokenizers must expose comparable vocabularies")
+        raise ValueError(
+            "both tokenizers must implement get_vocab() so their id spaces "
+            "can be verified to match"
+        )
     if tgv() != dgv():
-        raise ValueError("draft and target tokenizers use different token ids")
+        raise ValueError("the draft and target vocabularies assign different ids")
 
     target_eos = _eos_ids(tokenizer)
     draft_eos = _eos_ids(draft_tokenizer)
     emitted: list[int] = []
+    stream = _Stream(tokenizer, on_token)
 
     kv_cache = model.create_kv_cache()
     draft_kv_cache = None
@@ -161,13 +228,17 @@ def speculative_generate(
             cache.rewind(n)
 
     def _emit(ids: Iterable[int]) -> None:
+        ids = list(ids)
+        room = max_tokens - len(emitted)  # tokens past the cap are truncated
         emitted.extend(ids)
-        if on_token is not None and emitted:
-            on_token(tokenizer.decode(emitted))
+        if room > 0:
+            stream.feed(ids[:room])
 
     def _finish() -> str:
         del emitted[max_tokens:]  # acceptance can overshoot by < one proposal
-        return tokenizer.decode(emitted)
+        text = tokenizer.decode(emitted)
+        stream.close(text)
+        return text
 
     def _target_only(token_id: int, offset: int) -> str:
         remaining = max_tokens - len(emitted)
@@ -193,6 +264,44 @@ def speculative_generate(
         assert offset == draft_offset
         if draft_token in draft_eos:
             return _target_only(token_id, offset)
+
+        if auto_disable:
+            import time
+            import warnings
+
+            def _time_step(m, cache, off: int) -> float:
+                # One warm-up (compile) + two timed single-token steps at
+                # the decode shape; each is rewound so the cache state the
+                # main loop sees is untouched.
+                _greedy(m, [token_id], off, cache)
+                cache.rewind(1)
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    _greedy(m, [token_id], off, cache)
+                    best = min(best, time.perf_counter() - t0)
+                    cache.rewind(1)
+                return best
+
+            t_target = _time_step(model, kv_cache, offset)
+            t_draft = _time_step(draft_model, draft_kv_cache, draft_offset)
+            # The verify forward streams the same weights as a single step
+            # (both are weight-bandwidth bound at small K), so t_target is
+            # its estimate — avoiding a compile of the verify shape that
+            # would be wasted if the guard disables speculation.
+            bound = speculative_max_speedup(
+                t_target, t_draft, t_target, proposal_length
+            )
+            if bound < 1.0:
+                warnings.warn(
+                    "speculative decoding disabled: the draft step is not "
+                    f"fast enough to break even (measured target step "
+                    f"{t_target * 1e3:.2f} ms, draft {t_draft * 1e3:.2f} ms; "
+                    f"best-case speedup {bound:.2f}x < 1). Continuing with "
+                    "plain greedy decode on the target model.",
+                    stacklevel=2,
+                )
+                return _target_only(token_id, offset)
 
         def _draft_generate(last_id: int, off: int, n: int) -> tuple[list[int], int]:
             out = []

@@ -134,6 +134,184 @@ def paged_flash_decode(
     return out.reshape(B, Hq, L, D)
 
 
+def _paged_decode_gather_kernel(
+    bt_ref,  # [B, maxp] i32 (scalar prefetch)
+    lens_ref,  # [B] i32 (scalar prefetch)
+    q_ref,  # [1, Hkv, n_rep, L, D] — all heads of one request
+    k_hbm,  # [P, Hkv, ps, D] — stays in HBM, gathered manually
+    v_hbm,
+    o_ref,  # [1, Hkv, n_rep, L, D]
+    k_tile,  # VMEM [NBUF, G, Hkv, ps, D] scratch (multi-buffered)
+    v_tile,
+    m_ref,  # VMEM [Hkv, R, 128] f32
+    l_ref,
+    acc_ref,  # VMEM [Hkv, R, D] f32
+    k_sems,  # DMA sems [NBUF, G]
+    v_sems,
+    *,
+    ps: int,
+    G: int,
+    NBUF: int,
+    scale: float,
+):
+    """Multi-page gather flash decode (VERDICT round-1 item #3).
+
+    The BlockSpec-pipelined kernel above DMAs ONE (page, head) tile of
+    ps*D*2 bytes per grid step — at ps=128 that is a 32 KiB DMA plus a
+    full pipeline step of bookkeeping per page, which caps long-context
+    throughput at ~140 GB/s. This kernel instead walks the block table
+    inside the body: each super-tile gathers G whole pages ACROSS ALL KV
+    HEADS (one contiguous [Hkv, ps, D] DMA per page — 8x larger bursts,
+    Hkv-fold fewer descriptors), double-buffers the gathers against
+    compute, and bounds the walk by the request's live page count, so
+    dead block-table slots cost nothing (the Metal decode kernel's
+    page_id < 0 skip, paged_attention.metal:108-244, taken to its
+    bandwidth-optimal form).
+    """
+    b = pl.program_id(0)
+    Hkv, n_rep, L, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
+    R = n_rep * L
+    S = G * ps
+    ctx = lens_ref[b]
+    n_pages = (ctx + ps - 1) // ps
+    n_super = (n_pages + G - 1) // G
+    last = jnp.maximum(n_pages - 1, 0)
+
+    def page_dma(src, dst_tile, slot, g, pid, sems):
+        return pltpu.make_async_copy(
+            src.at[pid], dst_tile.at[slot, g], sems.at[slot, g]
+        )
+
+    def issue(jj, slot):
+        # Dead tail slots re-fetch the last live page (clamped index)
+        # rather than being skipped: their scores are masked, but the V
+        # tile MUST hold finite data — the PV dot multiplies masked rows
+        # by p == 0, and 0 * NaN from uninitialized scratch would poison
+        # the accumulator. Only the final super-tile pays, < G pages.
+        for g in range(G):  # static unroll: G concurrent page gathers
+            pid = jnp.maximum(bt_ref[b, jnp.minimum(jj * G + g, last)], 0)
+            page_dma(k_hbm, k_tile, slot, g, pid, k_sems).start()
+            page_dma(v_hbm, v_tile, slot, g, pid, v_sems).start()
+
+    def wait(jj, slot):
+        for g in range(G):
+            pid = jnp.maximum(bt_ref[b, jnp.minimum(jj * G + g, last)], 0)
+            page_dma(k_hbm, k_tile, slot, g, pid, k_sems).wait()
+            page_dma(v_hbm, v_tile, slot, g, pid, v_sems).wait()
+
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    # Prime the pipeline NBUF-1 super-tiles deep: with light decode
+    # compute the kernel is DMA-latency bound, and more gathers in
+    # flight is the lever (measured on the v5e: 2->3 buffers helps).
+    for jj in range(NBUF - 1):
+        @pl.when(jj < n_super)
+        def _():
+            issue(jj, jj % NBUF)
+
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % L
+    q_pos = ctx - L + l_idx
+
+    def body(j, _):
+        slot = jax.lax.rem(j, NBUF)
+        ahead = j + NBUF - 1
+
+        @pl.when(ahead < n_super)
+        def _():
+            issue(ahead, jax.lax.rem(ahead, NBUF))
+
+        wait(j, slot)
+        # Tail super-tile: garbage slots keep stale data; their k_pos is
+        # >= ctx > every q_pos, so _flash_inner masks them out.
+        for h in range(Hkv):
+            q = q_ref[0, h].reshape(R, D).astype(jnp.float32) * scale
+            k = k_tile[slot, :, h].reshape(S, D)
+            v = v_tile[slot, :, h].reshape(S, D)
+            _flash_inner(
+                q, k, v, q_pos, j * S,
+                m_ref.at[h], l_ref.at[h], acc_ref.at[h],
+            )
+        return 0
+
+    jax.lax.fori_loop(0, n_super, body, 0)
+    for h in range(Hkv):
+        out = acc_ref[h] / jnp.maximum(l_ref[h, :, :1], 1e-30)
+        o_ref[0, h] = out.reshape(n_rep, L, D).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "pages_per_tile", "num_buffers", "interpret"))
+def paged_flash_decode_gather(
+    q: jax.Array,  # [B, Hq, L, D]
+    key_pages: jax.Array,  # [P, Hkv, ps, D]
+    value_pages: jax.Array,
+    block_table: jax.Array,  # [B, maxp] i32, -1 padded
+    context_lens: jax.Array,  # [B] i32
+    scale: float,
+    pages_per_tile: int = 8,
+    num_buffers: int = 2,
+    interpret: bool = False,
+) -> jax.Array:
+    """Paged flash decode with multi-page gather tiles (see kernel doc)."""
+    B, Hq, L, D = q.shape
+    P, Hkv, ps, _ = key_pages.shape
+    n_rep = Hq // Hkv
+    maxp = block_table.shape[1]
+    R = n_rep * L
+    G = max(1, min(pages_per_tile, maxp))
+
+    def q_map(b, bt_ref, lens_ref):
+        return (b, 0, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, n_rep, L, D), q_map),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Hkv, n_rep, L, D), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((num_buffers, G, Hkv, ps, D), key_pages.dtype),
+            pltpu.VMEM((num_buffers, G, Hkv, ps, D), value_pages.dtype),
+            pltpu.VMEM((Hkv, R, 128), jnp.float32),
+            pltpu.VMEM((Hkv, R, 128), jnp.float32),
+            pltpu.VMEM((Hkv, R, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((num_buffers, G)),
+            pltpu.SemaphoreType.DMA((num_buffers, G)),
+        ],
+    )
+    qg = q.reshape(B, Hkv, n_rep, L, D)
+    kernel = functools.partial(
+        _paged_decode_gather_kernel, ps=ps, G=G, NBUF=num_buffers, scale=scale
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, n_rep, L, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * L * maxp * ps * D,
+            bytes_accessed=2 * B * Hkv * maxp * ps * D * 2,
+            transcendentals=B * Hq * L * maxp * ps,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # 2 double-buffered [G, Hkv, ps, D] bf16 tiles for K and V
+            # (G=8: 4 MiB each) + per-head f32 state; cap well above that
+            # so Mosaic's default budget never rejects the tile shape.
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        block_table.astype(jnp.int32),
+        context_lens.astype(jnp.int32),
+        qg,
+        key_pages,
+        value_pages,
+    )
+    return out.reshape(B, Hq, L, D)
+
+
 def _paged_prefill_kernel(
     bt_ref,
     lens_ref,
@@ -522,9 +700,16 @@ def paged_attention_pallas(
     scale = (D**-0.5) if scale is None else scale
     assert mask in ("causal", None), "paged attention supports causal masking"
     if L <= 16:
-        return paged_flash_decode(
+        # Multi-page gather tiles: ~4 MiB of pages per super-tile (G=16
+        # at the Qwen3 pool shape) measured 769 GB/s at 32K vs 138 for
+        # the one-page-per-grid-step kernel (benchmark_results/
+        # v5e-paged-decode-gather-2026-08-20.json).
+        _, Hkv, ps, _ = key_pages.shape
+        page_bytes = Hkv * ps * D * key_pages.dtype.itemsize
+        g = max(1, min((4 << 20) // page_bytes, block_table.shape[1]))
+        return paged_flash_decode_gather(
             q, key_pages, value_pages, block_table, context_lens,
-            scale=float(scale), interpret=interpret,
+            scale=float(scale), pages_per_tile=g, interpret=interpret,
         )
     return paged_flash_prefill(
         q, key_pages, value_pages, block_table, context_lens,
