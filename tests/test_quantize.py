@@ -125,6 +125,29 @@ def test_quantized_matmul_pallas_interpret_vs_xla(rows):
     assert_allclose(got, expected, jnp.bfloat16, atol=0.2)
 
 
+@pytest.mark.parametrize("shape", [(512, 1024), (512, 1920)])  # 1920: padded K
+def test_quantized_matmul_k_split_matches_full_k(shape):
+    """Explicit k_split partial accumulation must match the full-K kernel,
+    including when K padding misaligns the scale grid (scale rows are
+    padded to the Kp grid with zero scale AND bias)."""
+    from tiny_llm_tpu.kernels.quant_matmul import _qmm_magic_pallas
+
+    N, K = shape
+    w = jax.random.normal(jax.random.key(0), (N, K), dtype=jnp.float32) * 0.05
+    x = jax.random.normal(jax.random.key(1), (1, K), dtype=jnp.bfloat16)
+    qt = quantize(w, layout="magic_t")
+    xp = x
+    if qt.k_padded != K:
+        xp = jnp.pad(x, ((0, 0), (0, qt.k_padded - K)))
+    ref = _qmm_magic_pallas(
+        xp, qt.packed, qt.scales, qt.biases,
+        group_size=128, bits=4, k_split=1, interpret=True)
+    got = _qmm_magic_pallas(
+        xp, qt.packed, qt.scales, qt.biases,
+        group_size=128, bits=4, k_split=2, interpret=True)
+    assert_allclose(got, ref, jnp.bfloat16, atol=0.05)
+
+
 def test_quantized_matmul_bias_and_leading_dims():
     N, K = 128, 1024
     w = jax.random.normal(jax.random.key(0), (N, K)) * 0.05

@@ -135,6 +135,7 @@ def _block_sizes(M: int, N: int, K: int):
 def _magic_kernel(
     x_ref, w_ref, s_ref, b_ref, out_ref, stage_ref, acc_ref, *, group_size,
     nw_ref=None, xn_ref=None, true_k: int = 0, eps: float = 1e-6,
+    k_axis: int | None = None,
 ):
     """acc[bm, bn] += x[bm, K] @ magic-dequant(w[K/8, bn]) — transposed layout.
 
@@ -180,7 +181,17 @@ def _magic_kernel(
         def load_x(lo, hi):
             return xn_ref[:, lo:hi]
 
-    acc_ref[:] = jnp.zeros_like(acc_ref)
+    if k_axis is None:
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+    else:
+        # K-split grid (the reference's split-K schedule for under-filled
+        # grids, quantized_matmul.cpp:139-151, recast for a sequential
+        # grid): partial accumulation in f32 scratch across k-steps; the
+        # finer DMA granularity shortens pipeline fill on small-N shapes.
+        @pl.when(pl.program_id(k_axis) == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
     for sg in range(num_sg):
         words = w_ref[sg * half : (sg + 1) * half, :]
         if stage_ref is None:
@@ -228,7 +239,12 @@ def _magic_kernel(
                 xg = x_sg[:, j * gs : (j + 1) * gs]
                 xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
                 acc_ref[:] += xs * b_ref[g : g + 1, :].astype(jnp.float32)
-    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+    if k_axis is None:
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+    else:
+        @pl.when(pl.program_id(k_axis) == pl.num_programs(k_axis) - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 def _magic_block_sizes(M: int, N: int, Kp: int) -> tuple[int, int]:
@@ -265,9 +281,29 @@ def _magic_block_sizes(M: int, N: int, Kp: int) -> tuple[int, int]:
     return bm, min(bn, max(256, N))
 
 
+def _magic_k_split(M: int, N: int, bn: int, Kp: int, G: int) -> int:
+    """K-split factor for the decode path — measured dead end, default 1.
+
+    Hypothesis (the reference's split-K rationale for under-filled grids,
+    quantized_matmul.cpp:139-151): small-N fat-K shapes (o_proj: N=2560,
+    K=4096, ~5 sequential grid steps) are pipeline-fill bound, and
+    splitting K multiplies the step count at identical traffic. Measured
+    on the v5e (2026-08-21, PERFORMANCE.md): the isolated slope-clean
+    o_proj time is already ~at the weight-bandwidth roofline (5.6-6.8 us
+    vs 6.8 roofline), K-split makes it WORSE both isolated (nk=2: 6.2,
+    nk=4: 8.3 us) and in-model (decode device ceiling 282.3 -> 275.4
+    tok/s with the heuristic on) — on a sequential-grid TPU the finer
+    blocks only add per-step overhead; the round-1 '59-75% of roofline'
+    row was a replay-harness artifact, not a kernel deficiency. The
+    mechanism stays for explicit use (`k_split=` arg, covered by tests).
+    """
+    del M, N, bn, Kp, G
+    return 1
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "bits", "true_k", "eps", "interpret"),
+    static_argnames=("group_size", "bits", "true_k", "eps", "k_split", "interpret"),
 )
 def _qmm_magic_pallas(
     x_pad: jax.Array,  # [M, k_padded] bf16
@@ -279,6 +315,7 @@ def _qmm_magic_pallas(
     bits: int = 4,
     true_k: int = 0,
     eps: float = 1e-6,
+    k_split: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     assert bits == 4
@@ -290,6 +327,48 @@ def _qmm_magic_pallas(
     assert nw is None or not staged, (
         "fused norm is decode-path only (wrapper pre-normalizes at prefill)"
     )
+    nk = _magic_k_split(M, N, bn, Kp, G) if k_split is None else k_split
+    if nw is not None:
+        nk = 1  # the fused-norm prologue needs the whole K resident
+    if not staged and nk > 1:
+        # Align scale/bias rows to the Kp group grid: K-padding groups get
+        # zero scale AND zero bias, so they contribute exactly nothing
+        # (d*0 + sum(x)*0) whatever the padded words hold.
+        Gk = Kp // group_size
+        if G != Gk:
+            scales_t = jnp.pad(scales_t, ((0, Gk - G), (0, 0)))
+            biases_t = jnp.pad(biases_t, ((0, Gk - G), (0, 0)))
+            G = Gk
+        if G % nk:
+            nk = 1  # unsplittable scale grid; fall through below
+    if not staged and nk > 1:
+        grid = (pl.cdiv(N, bn), pl.cdiv(M, bm), nk)
+        kernel = functools.partial(
+            lambda x, w, s, b, o, acc, **kw: _magic_kernel(
+                x, w, s, b, o, None, acc, **kw
+            ),
+            group_size=group_size,
+            k_axis=2,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, Kp // nk), lambda n, m, k: (m, k)),
+                pl.BlockSpec((Kp // 8 // nk, bn), lambda n, m, k: (k, n)),
+                pl.BlockSpec((G // nk, bn), lambda n, m, k: (k, n)),
+                pl.BlockSpec((G // nk, bn), lambda n, m, k: (k, n)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda n, m, k: (m, n)),
+            out_shape=jax.ShapeDtypeStruct((M, N), x_pad.dtype),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * N * Kp,
+                bytes_accessed=M * Kp * 2 + packed_t.size * 4 + scales_t.size * 8,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(x_pad, packed_t, scales_t, biases_t)
     if staged:
         # m OUTER: the x block (large at prefill) loads once per m-block;
         # the weights re-stream per m-block but overlap MXU compute.
