@@ -488,3 +488,74 @@ def test_paged_decode_state_pallas_matches_oracle():
                                atol=2e-2)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=3e-2,
                                atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# Data parallelism (VERDICT round-1 item #6)
+# ---------------------------------------------------------------------------
+
+
+def test_dp_serving_batch_generate_matches_single_device():
+    """Full continuous-batching run with the decode batch sharded over a
+    (dp=2, tp=4) mesh must produce the exact texts of the single-device
+    run — the reference scheduler slot semantics (batch.py:120-221) are
+    preserved under replica sharding."""
+    from tiny_llm_tpu.serving.batch import batch_generate
+    from tiny_llm_tpu.parallel import DPServing
+    from .utils import FakeTokenizer
+
+    cfg = tp_config()
+    params = random_params(cfg, key=0, quantized=False)
+    tok = FakeTokenizer()
+    prompts = [f"prompt number {i} padding" for i in range(6)]
+
+    single = Qwen3Model(params, cfg, max_seq_len=64, attn_impl="xla")
+    want = sorted(
+        batch_generate(single, tok, list(prompts), max_seq_len=64,
+                       batch_size=4, prefill_step=8, max_output_tokens=5)
+    )
+
+    mesh = make_mesh(dp=2, tp=4)
+    scfg = ShardingConfig(mesh)
+    model = Qwen3Model(
+        shard_params(params, scfg), cfg, max_seq_len=64, attn_impl="xla"
+    )
+    dp_model = DPServing(model, scfg)
+    got = sorted(
+        batch_generate(dp_model, tok, list(prompts), max_seq_len=64,
+                       batch_size=4, prefill_step=8, max_output_tokens=5)
+    )
+    assert got == want
+
+
+def test_dp_batching_cache_is_sharded_over_dp():
+    from tiny_llm_tpu.parallel import DPServing
+
+    cfg = tp_config()
+    mesh = make_mesh(dp=2, tp=4)
+    scfg = ShardingConfig(mesh)
+    model = Qwen3Model(
+        shard_params(random_params(cfg, key=0), scfg), cfg,
+        max_seq_len=64, attn_impl="xla",
+    )
+    dp_model = DPServing(model, scfg)
+    cache = dp_model.create_batching_kv_cache(max_active_requests=4)
+    spec = cache.keys.sharding.spec
+    assert spec[1] == scfg.dp_axis  # batch axis sharded over dp
+    assert dp_model.slot_replica(0, 4) == 0
+    assert dp_model.slot_replica(3, 4) == 1
+
+    with pytest.raises(ValueError, match="divisible"):
+        dp_model.create_batching_kv_cache(max_active_requests=3)
+
+
+def test_dp_rejects_paged_model():
+    from tiny_llm_tpu.parallel import DPServing
+
+    cfg = tp_config()
+    mesh = make_mesh(dp=2, tp=4)
+    scfg = ShardingConfig(mesh)
+    model = Qwen3Model(random_params(cfg, key=0), cfg, max_seq_len=64)
+    model.enable_paged_attention(num_pages=8, page_size=8)
+    with pytest.raises(NotImplementedError):
+        DPServing(model, scfg)

@@ -329,6 +329,202 @@ def _gqmm_pallas(
     )(gids, mtids, flags, goffs, x_pad, packed, scales, biases)
 
 
+def _gqmm_gather_kernel(
+    gids_ref, mtids_ref, flags_ref, goffs_ref, nlog_ref,  # scalar prefetch
+    x_ref,  # [T, Kp] VMEM — whole activation set resident
+    w_hbm,  # [E, Kp/8, N] ANY (HBM)
+    s_hbm,  # [E, G, N]
+    b_hbm,
+    out_ref,  # [T, N]
+    w_tile,  # [2, Kp/8, N] scratch
+    s_tile,  # [2, G, N]
+    b_tile,
+    acc_ref,  # [T, N] f32
+    w_sems, s_sems, b_sems,  # DMA sems [2]
+    *,
+    group_size: int,
+    bm: int,
+):
+    """Expert-gather ragged matmul for the decode regime (small T).
+
+    The BlockSpec-pipelined walk above measures ~52 GB/s at the
+    Qwen3-30B-A3B decode shape and is ~100% fetch-bound (stream-only
+    variant: 875 us vs 893 full — benches/probe_moe_sched.py). Same
+    disease and cure as the paged-decode kernel: fetch each routed
+    expert's whole weight block with one contiguous manual DMA,
+    double-buffered against compute, loop bound by the true logical-tile
+    count. x and the [T, N] f32 accumulator stay VMEM-resident the whole
+    time, so per-visit accumulator traffic is one dynamic-row-slice
+    update. A hot expert spanning multiple m-tiles is re-fetched per
+    tile (decode T keeps that rare); prefill stays on the pipelined
+    kernel where compute amortizes the walk.
+    """
+    T, Kp = x_ref.shape[0], x_ref.shape[1]
+    gs = group_size
+    half = gs // 2
+    num_sg = w_tile.shape[1] // half
+    mask = jnp.uint32(0x000F000F)
+    magic = jnp.uint32(0x43004300)
+    nlog = nlog_ref[0]
+    NC = w_sems.shape[1]  # concurrent chunk DMAs per expert block
+    rows = w_tile.shape[1]
+    chunk = rows // NC
+
+    def dmas(slot, i):
+        # One monolithic DMA of the [Kp/8, N] block measured ~40 GB/s —
+        # a single in-flight descriptor can't fill HBM bandwidth (the
+        # paged-gather kernel needed ~32 concurrent page DMAs to reach
+        # 769 GB/s). Split the block into NC row-chunks issued together.
+        g = gids_ref[i]
+        out = [
+            pltpu.make_async_copy(
+                w_hbm.at[g, pl.ds(c * chunk, chunk), :],
+                w_tile.at[slot, pl.ds(c * chunk, chunk), :],
+                w_sems.at[slot, c],
+            )
+            for c in range(NC)
+        ]
+        out.append(
+            pltpu.make_async_copy(s_hbm.at[g], s_tile.at[slot], s_sems.at[slot])
+        )
+        out.append(
+            pltpu.make_async_copy(b_hbm.at[g], b_tile.at[slot], b_sems.at[slot])
+        )
+        return out
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for d in dmas(0, 0):
+        d.start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nlog)
+        def _():
+            for d in dmas(jax.lax.rem(i + 1, 2), i + 1):
+                d.start()
+
+        for d in dmas(slot, i):
+            d.wait()
+
+        g = gids_ref[i]
+        row0 = pl.multiple_of(mtids_ref[i] * bm, bm)  # T padded to bm
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
+        rmask = (rows >= goffs_ref[g]) & (rows < goffs_ref[g + 1])
+        x = jnp.where(rmask, x_ref[pl.ds(row0, bm), :], 0).astype(jnp.bfloat16)
+        contrib = None
+        for sg in range(num_sg):
+            words = w_tile[slot, sg * half : (sg + 1) * half, :]
+            for j in range(4):
+                gq = sg * 4 + j
+                t = ((words >> (4 * j)) & mask) | magic
+                v = pltpu.bitcast(t, jnp.bfloat16)  # [gs, N] = 128 + q
+                xg = x[:, gq * gs : (gq + 1) * gs]
+                d = jax.lax.dot_general(
+                    xg, v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+                s = s_tile[slot, gq : gq + 1, :].astype(jnp.float32)
+                c = b_tile[slot, gq : gq + 1, :].astype(jnp.float32) - 128.0 * s
+                term = d * s + xs * c
+                contrib = term if contrib is None else contrib + term
+        acc_ref[pl.ds(row0, bm), :] += contrib
+        return 0
+
+    jax.lax.fori_loop(0, nlog, body, 0)
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "bits", "interpret")
+)
+def _gqmm_gather_pallas(
+    x_pad: jax.Array,  # [T, k_padded] bf16, rows sorted by expert
+    packed: jax.Array,  # [E, k_padded // 8, N] uint32 (magic_t stacked)
+    scales: jax.Array,  # [E, G, N]
+    biases: jax.Array,
+    group_sizes: jax.Array,  # [E] int32
+    group_size: int,
+    bits: int,
+    interpret: bool = False,
+) -> jax.Array:
+    assert bits == 4
+    T, K = x_pad.shape
+    E, _, N = packed.shape
+    G = scales.shape[1]
+    bm = min(16, T)
+    Tp = _cdiv(T, bm) * bm
+    if Tp != T:
+        x_pad = jnp.pad(x_pad, ((0, Tp - T), (0, 0)))
+    tiles_m = Tp // bm
+    gids, mtids, flags, goffs = _group_metadata(group_sizes, Tp, bm, E, tiles_m)
+    # chunk count: keep chunks ~96-128 KiB and row-divisible
+    rows_w = K // 8
+    n_chunks = 1
+    while n_chunks < 8 and rows_w % (2 * n_chunks) == 0 and (
+        rows_w // (2 * n_chunks)
+    ) * N * 4 >= 64 * 1024:
+        n_chunks *= 2
+    num_logical = jnp.maximum(
+        jnp.sum(
+            jnp.where(
+                group_sizes > 0,
+                (jnp.cumsum(group_sizes) + bm - 1) // bm
+                - (jnp.cumsum(group_sizes) - group_sizes) // bm,
+                0,
+            )
+        ),
+        1,
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((Tp, K), lambda g0, *s: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((Tp, N), lambda g0, *s: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, K // 8, N), jnp.uint32),
+            pltpu.VMEM((2, G, N), scales.dtype),
+            pltpu.VMEM((2, G, N), biases.dtype),
+            pltpu.VMEM((Tp, N), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n_chunks)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _gqmm_gather_kernel, group_size=group_size, bm=bm
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, N), x_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tp * N * K,
+            bytes_accessed=Tp * K * 2 + packed.size * 4 + scales.size * 8,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(gids, mtids, flags, goffs, num_logical.reshape(1),
+      x_pad, packed, scales, biases)
+    return out[:T]
+
+
+# Decode-regime bound for the expert-gather schedule: above this the
+# pipelined logical-tile kernel amortizes the walk over enough compute.
+GATHER_MAX_T = 256
+
+
 def grouped_quantized_matmul(
     grouped_x: jax.Array,  # [T, K] — rows sorted by expert id
     qt: QuantizedTensor,  # stacked experts, packed [E, N, K/vpw]
@@ -344,7 +540,8 @@ def grouped_quantized_matmul(
     if qt.k_padded != K:
         x2 = jnp.pad(x2, ((0, 0), (0, qt.k_padded - K)))
     if qt.layout == "magic_t":
-        out = _gqmm_magic_pallas(
+        fn = _gqmm_gather_pallas if T <= GATHER_MAX_T else _gqmm_magic_pallas
+        out = fn(
             x2,
             qt.packed,
             qt.scales,
