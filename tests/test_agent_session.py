@@ -333,6 +333,20 @@ class TestResumableUndo:
             j.commit(intent)
         return root, log, j, ckpt
 
+    @staticmethod
+    def _change_started_event(plan, path):
+        """The event the journal itself writes just before applying a
+        change — used here to simulate a crash mid-undo."""
+        r = [x for x in plan.restores if x.path == path][0]
+        return {
+            "change_id": os.urandom(16).hex(),
+            "fingerprint": plan.fingerprint(),
+            "path": path,
+            "operation": "restore" if r.before_exists else "remove",
+            "expected_current": r.expected_current_digest,
+            "result_digest": r.before_digest if r.before_exists else None,
+        }
+
     def test_resume_skips_completed_restores(self, tmp_path):
         root, log, j, ckpt = self._setup(tmp_path)
         plan = j.plan_undo(ckpt)
@@ -340,10 +354,13 @@ class TestResumableUndo:
         # (journaled), b.txt was not touched.
         log.append("undo_started", {"checkpoint_id": plan.checkpoint_id,
                                     "fingerprint": plan.fingerprint()})
-        a = [r for r in plan.restores if r.path == "a.txt"][0]
-        log.append("undo_change_started", {"path": "a.txt"})
+        started = self._change_started_event(plan, "a.txt")
+        log.append("undo_change_started", started)
         (root / "a.txt").write_text("a-original")
-        log.append("undo_change_finished", {"path": "a.txt"})
+        log.append("undo_change_finished",
+                   {"change_id": started["change_id"],
+                    "fingerprint": plan.fingerprint(),
+                    "path": "a.txt", "operation": "restore"})
 
         result = j.apply_undo(plan)
         assert result["status"] == "resumed"
@@ -357,7 +374,8 @@ class TestResumableUndo:
         # Crash AFTER the file write but BEFORE undo_change_finished.
         log.append("undo_started", {"checkpoint_id": plan.checkpoint_id,
                                     "fingerprint": plan.fingerprint()})
-        log.append("undo_change_started", {"path": "a.txt"})
+        log.append("undo_change_started",
+                   self._change_started_event(plan, "a.txt"))
         (root / "a.txt").write_text("a-original")
 
         result = j.apply_undo(plan)
@@ -365,6 +383,8 @@ class TestResumableUndo:
         assert result["skipped"] == 1 and result["applied"] == 1
         types = [e.type for e in log.events]
         assert "undo_change_recovered" in types
+        rec = [e for e in log.events if e.type == "undo_change_recovered"][0]
+        assert rec.data["status"] == "applied"
 
     def test_fresh_apply_still_refuses_drift(self, tmp_path):
         root, log, j, ckpt = self._setup(tmp_path)

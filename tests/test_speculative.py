@@ -39,7 +39,8 @@ def test_spec_decode_lossless_with_perfect_draft(target, draft_same):
     tok = FakeTokenizer()
     expected = simple_generate_with_kv_cache(target, tok, "hello", max_tokens=8)
     got = speculative_generate(
-        draft_same, target, tok, tok, "hello", proposal_length=4, max_tokens=8
+        draft_same, target, tok, tok, "hello", proposal_length=4, max_tokens=8,
+        auto_disable=False
     )
     assert got == expected
 
@@ -49,7 +50,8 @@ def test_spec_decode_lossless_with_bad_draft(target, draft_different):
     tok = FakeTokenizer()
     expected = simple_generate_with_kv_cache(target, tok, "abc xyz", max_tokens=8)
     got = speculative_generate(
-        draft_different, target, tok, tok, "abc xyz", proposal_length=3, max_tokens=8
+        draft_different, target, tok, tok, "abc xyz", proposal_length=3,
+        max_tokens=8, auto_disable=False
     )
     assert got == expected
 
@@ -58,7 +60,8 @@ def test_spec_decode_proposal_zero_is_target_only(target, draft_different):
     tok = FakeTokenizer()
     expected = simple_generate_with_kv_cache(target, tok, "zq", max_tokens=6)
     got = speculative_generate(
-        draft_different, target, tok, tok, "zq", proposal_length=0, max_tokens=6
+        draft_different, target, tok, tok, "zq", proposal_length=0, max_tokens=6,
+        auto_disable=False
     )
     assert got == expected
 
@@ -142,7 +145,8 @@ def test_spec_decode_on_paged_caches(target):
     tok = FakeTokenizer()
     expected = simple_generate_with_kv_cache(paged, tok, "hello", max_tokens=8)
     got = speculative_generate(
-        draft, paged, tok, tok, "hello", proposal_length=3, max_tokens=8
+        draft, paged, tok, tok, "hello", proposal_length=3, max_tokens=8,
+        auto_disable=False,
     )
     assert got == expected
     assert paged.page_pool.live_pages == 0  # caches released, no leaks

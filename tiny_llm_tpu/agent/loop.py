@@ -15,6 +15,7 @@ import dataclasses
 import json
 from typing import Callable
 
+from .context import ContextManager, ContextPolicy
 from .control import AgentInterrupted, CancellationToken
 from .protocol import (
     AgentError,
@@ -26,12 +27,23 @@ from .protocol import (
 from .session import SessionLog, memory_session
 
 
+def estimate_tokens(text: str) -> int:
+    """Conservative token estimate used when no real tokenizer is wired
+    in: ~4 chars/token for prose, and never below 1. Only the fallback
+    path uses this; a ContextManager built with the model's encoder is
+    always token-exact."""
+    return max(1, len(text) // 4)
+
+
 @dataclasses.dataclass(frozen=True)
 class AgentLimits:
+    """All budgets derive from one token-denominated ContextPolicy
+    (reference context.py:30-65) — there is no separate char budget."""
+
     max_steps: int = 8
     max_invalid_actions: int = 3
     max_identical_actions: int = 2
-    max_context_chars: int = 120_000
+    context: ContextPolicy = dataclasses.field(default_factory=ContextPolicy)
 
     def __post_init__(self):
         if self.max_steps < 1 or self.max_invalid_actions < 1:
@@ -101,14 +113,16 @@ def run_agent(
                 pass  # delivery appends the durable events; messages() shows them
 
             messages = [{"role": "system", "content": system_prompt}] + session.messages()
-            if context_manager is not None:
-                messages = [messages[0]] + context_manager.prepare(messages[1:])
-            else:
-                from .context import compact_messages
-
-                messages = [messages[0]] + compact_messages(
-                    messages[1:], limits.max_context_chars
+            if context_manager is None:
+                # Fallback manager: same token-denominated policy as the
+                # explicit path, with an estimated encoder. Keeps every
+                # budget in tokens (no parallel char-budget system).
+                context_manager = ContextManager(
+                    encode=estimate_tokens,
+                    policy=limits.context,
+                    session_log=session,
                 )
+            messages = [messages[0]] + context_manager.prepare(messages[1:])
 
             cancellation.raise_if_cancelled("generate")
             reply, stats = generate(messages)

@@ -226,25 +226,135 @@ class MutationJournal:
         )
 
     # -- applying / resuming undo ---------------------------------------------
-    def _interrupted_undo(self, plan: UndoPlan) -> set[str] | None:
-        """If the log shows an undo of THIS plan that started but never
-        finished (crash mid-undo), return the set of paths whose change
-        already completed; else None (reference recovery.py:853-1030 —
-        undo is itself WAL'd and resumable)."""
-        started_at = None
+    def _has_interrupted_undo(self, plan: UndoPlan) -> bool:
+        """True when the log shows an undo of THIS plan that started but
+        never reached its undo_finished event (crash mid-undo)."""
+        open_attempt = False
+        fp = plan.fingerprint()
         for e in self.session.events:
-            if (e.type == "undo_started"
-                    and e.data.get("fingerprint") == plan.fingerprint()):
-                started_at = e.id
-            elif e.type == "undo_finished" and started_at is not None:
-                started_at = None  # that attempt completed
-        if started_at is None:
-            return None
-        return {
-            e.data["path"]
-            for e in self.session.events
-            if e.type == "undo_change_finished" and e.id > started_at
-        }
+            if e.type == "undo_started" and e.data.get("fingerprint") == fp:
+                open_attempt = True
+            elif e.type == "undo_finished" and e.data.get("fingerprint") == fp:
+                open_attempt = False
+        return open_attempt
+
+    def _restore_result_digest(self, r: PlannedRestore) -> str | None:
+        """Digest the file should hold AFTER this change is applied
+        (None = the file should be absent)."""
+        return r.before_digest if r.before_exists else None
+
+    def _reconcile_undo_changes(
+        self, plan: UndoPlan
+    ) -> tuple[dict[str, str], list[str]]:
+        """Resolve per-change WAL events of an interrupted undo of this
+        plan WITHOUT replaying or clobbering anything (reference
+        recovery.py:853-1030).
+
+        Every change the undo applies is bracketed by durable
+        undo_change_started / undo_change_finished events carrying a
+        change_id and the plan fingerprint.  A crash can leave a change
+        in exactly three states, distinguishable by hashing:
+
+        * started + finished          -> applied (verify it still holds)
+        * started, file == result     -> applied but unjournaled; close it
+          durably with undo_change_recovered(status="applied")
+        * started, file == expected   -> not applied; record and redo
+        * started, file == neither    -> conflict; record, never touch
+
+        Returns (completed: path -> operation, conflicts).  Raises
+        RecoveryError when the event stream is internally inconsistent
+        (that indicates log tampering or a software bug, not a crash).
+        """
+        fp = plan.fingerprint()
+        by_path = {r.path: r for r in plan.restores}
+        starts: dict[str, tuple[str, str]] = {}  # change_id -> (path, op)
+        resolved: dict[str, str] = {}  # change_id -> outcome
+        for e in self.session.events:
+            if e.type == "undo_change_started":
+                if e.data.get("fingerprint") != fp:
+                    continue
+                cid = e.data.get("change_id")
+                path = e.data.get("path")
+                if not isinstance(cid, str) or cid in starts:
+                    raise RecoveryError("undo change start event is invalid")
+                if path not in by_path:
+                    raise RecoveryError(
+                        f"undo change start for {path!r} is not in the plan"
+                    )
+                r = by_path[path]
+                op = "restore" if r.before_exists else "remove"
+                if (
+                    e.data.get("operation") != op
+                    or e.data.get("expected_current") != r.expected_current_digest
+                    or e.data.get("result_digest") != self._restore_result_digest(r)
+                ):
+                    raise RecoveryError(
+                        f"undo change start for {path!r} does not match the plan"
+                    )
+                starts[cid] = (path, op)
+            elif e.type in ("undo_change_finished", "undo_change_recovered"):
+                cid = e.data.get("change_id")
+                if cid is None:
+                    continue  # other plan / other schema
+                if cid not in starts:
+                    if e.data.get("fingerprint") == fp:
+                        raise RecoveryError("undo change resolution without a start")
+                    continue
+                if cid in resolved:
+                    raise RecoveryError("undo change resolved twice")
+                path, op = starts[cid]
+                if e.data.get("path") != path:
+                    raise RecoveryError("undo change resolution path mismatch")
+                if e.type == "undo_change_finished":
+                    resolved[cid] = "applied"
+                else:
+                    status = e.data.get("status")
+                    if status not in ("applied", "not_applied", "conflict"):
+                        raise RecoveryError("undo recovery status is invalid")
+                    resolved[cid] = status
+
+        completed: dict[str, str] = {}
+        conflicts: list[str] = []
+        for cid, (path, op) in starts.items():
+            r = by_path[path]
+            full = os.path.join(self.root, path)
+            cur = self._current_digest(full)
+            result = self._restore_result_digest(r)
+            outcome = resolved.get(cid)
+            if outcome == "applied":
+                if cur == result:
+                    completed[path] = op
+                else:
+                    conflicts.append(path)
+                continue
+            if outcome == "conflict":
+                conflicts.append(path)
+                continue
+            if outcome == "not_applied":
+                continue  # will be redone
+            # Unresolved: the crash hit between started and finished.
+            if cur == result:
+                # Applied but unjournaled: close it durably.
+                self.session.append(
+                    "undo_change_recovered",
+                    {"change_id": cid, "fingerprint": fp, "path": path,
+                     "operation": op, "status": "applied"},
+                )
+                completed[path] = op
+            elif cur == r.expected_current_digest:
+                self.session.append(
+                    "undo_change_recovered",
+                    {"change_id": cid, "fingerprint": fp, "path": path,
+                     "operation": op, "status": "not_applied"},
+                )
+            else:
+                self.session.append(
+                    "undo_change_recovered",
+                    {"change_id": cid, "fingerprint": fp, "path": path,
+                     "operation": op, "status": "conflict"},
+                )
+                conflicts.append(path)
+        return completed, conflicts
 
     def _current_digest(self, full: str) -> str | None:
         if not os.path.exists(full):
@@ -264,19 +374,21 @@ class MutationJournal:
         os.replace(full, dest)
         return dest
 
-    def _remove_exact(self, full: str, rel: str, expected: str | None) -> None:
+    def _remove_exact(self, full: str, rel: str, expected: str | None) -> str | None:
         """Remove `full` only if it still holds the expected content;
-        unexpected content is quarantined, never destroyed."""
+        unexpected content is quarantined, never destroyed. Returns the
+        quarantine destination when content was preserved."""
         cur = self._current_digest(full)
         if cur is None:
-            return
+            return None
         if expected is not None and cur != expected:
             dest = self._quarantine(full, rel)
             self.session.append(
                 "undo_quarantined", {"path": rel, "moved_to": dest}
             )
-            return
+            return dest
         os.unlink(full)
+        return None
 
     def _restore_exact(self, full: str, content: bytes) -> None:
         tmp = full + f".undo-{os.getpid()}"
@@ -287,68 +399,114 @@ class MutationJournal:
         os.replace(tmp, full)
 
     def apply_undo(self, plan: UndoPlan, confirm=None) -> dict:
-        """Apply a plan: preflight fingerprints, per-change WAL events,
-        atomic restores. Refuses wholesale if any file drifted since the
-        plan was computed — EXCEPT when resuming an interrupted undo of
-        the same plan, where already-restored files legitimately hold
-        their before-image already."""
+        """Apply a plan with per-change WAL events so undo is itself
+        crash-recoverable (reference recovery.py:547-763).
+
+        Order of operations per change: recheck the current fingerprint,
+        durably append undo_change_started (change_id + plan
+        fingerprint + expected/result digests), perform the restore or
+        identity-checked removal, durably append undo_change_finished.
+        A crash at any point is reconciled by `_reconcile_undo_changes`
+        on the next apply of the same plan.
+
+        A fresh apply refuses wholesale when any file drifted since the
+        plan was computed (the plan is stale — recompute it).  A RESUMED
+        apply instead classifies each previously started change by state
+        and only redoes the not-applied ones; files touched outside the
+        undo become per-change conflicts, never silently clobbered.
+        """
         if confirm is not None and not confirm(plan):
             return {"applied": 0, "status": "rejected"}
-        done_paths = self._interrupted_undo(plan)
-        resuming = done_paths is not None
-        done_paths = done_paths or set()
+        fp = plan.fingerprint()
+        resuming = self._has_interrupted_undo(plan)
+        if resuming:
+            completed, conflicts = self._reconcile_undo_changes(plan)
+        else:
+            completed, conflicts = {}, []
 
-        # Preflight: every file must match the plan — or, when resuming,
-        # already hold its restored before-image.
+        # Preflight the changes that remain to be applied.
+        remaining: list[PlannedRestore] = []
         for r in plan.restores:
-            full = os.path.join(self.root, r.path)
-            cur = self._current_digest(full)
-            ok = cur == r.expected_current_digest
-            if resuming and not ok:
-                restored = r.before_digest if r.before_exists else None
-                ok = cur == restored
-            if not ok:
+            if r.path in completed or r.path in conflicts:
+                continue
+            cur = self._current_digest(os.path.join(self.root, r.path))
+            if cur != r.expected_current_digest:
+                if resuming and cur == self._restore_result_digest(r):
+                    # Applied before any per-change event could be
+                    # written — possible only for plans replayed against
+                    # logs from older sessions; close it durably.
+                    self.session.append(
+                        "undo_change_recovered",
+                        {"change_id": None, "fingerprint": fp, "path": r.path,
+                         "operation": "restore" if r.before_exists else "remove",
+                         "status": "applied"},
+                    )
+                    completed[r.path] = "restore" if r.before_exists else "remove"
+                    continue
+                if resuming:
+                    conflicts.append(r.path)
+                    continue
                 raise RecoveryError(
                     f"{r.path!r} changed since the undo plan was computed"
                 )
+            remaining.append(r)
 
-        if not resuming:
-            self.session.append(
-                "undo_started",
-                {"checkpoint_id": plan.checkpoint_id,
-                 "fingerprint": plan.fingerprint()},
-            )
+        self.session.append(
+            "undo_started",
+            {"checkpoint_id": plan.checkpoint_id, "fingerprint": fp,
+             "paths": [r.path for r in remaining], "resumed": resuming},
+        )
         applied = 0
-        skipped = 0
-        for r in plan.restores:
+        restored: list[str] = []
+        removed: list[str] = []
+        quarantined: list[str] = []
+        for r in remaining:
             full = os.path.join(self.root, r.path)
-            restored_digest = r.before_digest if r.before_exists else None
-            if r.path in done_paths or (
-                resuming and self._current_digest(full) == restored_digest
-            ):
-                # Completed (or applied-but-unjournaled) before the crash.
-                if r.path not in done_paths:
-                    self.session.append(
-                        "undo_change_recovered", {"path": r.path}
-                    )
-                skipped += 1
+            op = "restore" if r.before_exists else "remove"
+            # Last-moment recheck: anything that slipped in between the
+            # preflight and this change is a conflict, not a casualty.
+            if self._current_digest(full) != r.expected_current_digest:
+                conflicts.append(r.path)
                 continue
-            self.session.append("undo_change_started", {"path": r.path})
+            change_id = os.urandom(16).hex()
+            self.session.append(
+                "undo_change_started",
+                {"change_id": change_id, "fingerprint": fp, "path": r.path,
+                 "operation": op,
+                 "expected_current": r.expected_current_digest,
+                 "result_digest": self._restore_result_digest(r)},
+            )
             if r.before_exists:
                 content = _decode_content(r.before_content)
                 intent = self.record_intent(full, content)
                 self._restore_exact(full, content)
                 self.commit(intent)
+                restored.append(r.path)
             else:
-                self._remove_exact(full, r.path, r.expected_current_digest)
-            self.session.append("undo_change_finished", {"path": r.path})
+                q = self._remove_exact(full, r.path, r.expected_current_digest)
+                if q is not None:
+                    quarantined.append(q)
+                removed.append(r.path)
+            self.session.append(
+                "undo_change_finished",
+                {"change_id": change_id, "fingerprint": fp, "path": r.path,
+                 "operation": op},
+            )
             applied += 1
         self.session.append(
-            "undo_finished", {"checkpoint_id": plan.checkpoint_id, "applied": applied}
+            "undo_finished",
+            {"checkpoint_id": plan.checkpoint_id, "fingerprint": fp,
+             "applied": applied, "restored": restored, "removed": removed,
+             "conflicts": list(dict.fromkeys(conflicts)),
+             "quarantined": quarantined, "resumed": resuming},
         )
         return {
             "applied": applied,
-            "skipped": skipped,
+            "skipped": len(completed),
             "status": "resumed" if resuming else "ok",
+            "restored": restored,
+            "removed": removed,
+            "conflicts": list(dict.fromkeys(conflicts)),
+            "quarantined": quarantined,
             "warnings": list(plan.warnings),
         }

@@ -162,7 +162,7 @@ def speculative_generate(
     proposal_length: int = 4,
     max_tokens: int = 512,
     on_token: Callable[[str], None] | None = None,
-    auto_disable: bool = False,
+    auto_disable: bool = True,
 ) -> str:
     """Draft/target speculative decoding with cache rewind.
 
@@ -177,13 +177,14 @@ def speculative_generate(
     greedy decode (``speculative_max_speedup`` < 1 — e.g. a draft that
     is not meaningfully faster than an already bandwidth-bound target),
     a warning is emitted and generation continues target-only. The probe
-    steps are rewound, so the guard never changes the output.
+    steps are rewound, so the guard never changes the output. The guard
+    defaults ON so library callers get the protection too; pass
+    ``auto_disable=False`` to force speculation unconditionally.
     """
-    if (
-        not isinstance(proposal_length, int)
-        or isinstance(proposal_length, bool)
-        or proposal_length < 0
-    ):
+    # bool is an int subclass, so screen it out explicitly; a draft window
+    # of zero is allowed (degenerates to verify-only decode).
+    bad_type = not isinstance(proposal_length, int) or isinstance(proposal_length, bool)
+    if bad_type or proposal_length < 0:
         raise ValueError("proposal_length must be a non-negative integer")
 
     # Speculation is only sound when both models speak the same token id
