@@ -120,6 +120,8 @@ def main() -> None:
     p.add_argument("--prefill-step", type=int, default=128)
     p.add_argument("--page-size", type=int, default=128)
     p.add_argument("--decode-burst", type=int, default=16)
+    p.add_argument("--repeats", type=int, default=5,
+                   help="timed decode samples; headline = median")
     args = p.parse_args()
 
     if args.mode == "serving":
@@ -165,9 +167,15 @@ def main() -> None:
         return prefill_s, decode_s
 
     run_decode(timed=False)  # compile the prefill + both burst shapes
-    prefill_s, decode_s = run_decode(timed=True)
-    prefill_tok_s = args.prompt_len / prefill_s
-    decode_tok_s = args.decode / decode_s
+    # Median-of-N with min/max: the host<->device relay adds run-to-run
+    # variance that a single sample cannot bound (round-2 drivers caught
+    # 177-196 tok/s across rounds from one-sample reporting).
+    samples = [run_decode(timed=True) for _ in range(max(1, args.repeats))]
+    decode_rates = sorted(args.decode / d for _, d in samples)
+    prefill_rates = sorted(args.prompt_len / p for p, _ in samples)
+    mid = len(samples) // 2
+    decode_tok_s = decode_rates[mid]
+    prefill_tok_s = prefill_rates[mid]
 
     # Device ceiling: the whole decode in ONE dispatch + one fetch.
     cache = model.create_kv_cache()
@@ -184,9 +192,13 @@ def main() -> None:
         jax.device_get(jnp.argmax(logits[:, -1, :].astype(jnp.float32), axis=-1)),
         np.int32,
     )
-    t0 = time.perf_counter()
-    model.decode_burst_dense(cache, tok, args.decode)
-    device_tok_s = args.decode / (time.perf_counter() - t0)
+    dev_rates = []
+    for _ in range(max(1, min(3, args.repeats))):
+        t0 = time.perf_counter()
+        model.decode_burst_dense(cache, tok, args.decode)
+        dev_rates.append(args.decode / (time.perf_counter() - t0))
+        cache.rewind(args.decode)
+    device_tok_s = sorted(dev_rates)[len(dev_rates) // 2]
     cache.release()
 
     # Secondary: reference-methodology per-step loop (one model call per
@@ -222,6 +234,9 @@ def main() -> None:
                 "value": round(decode_tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(decode_tok_s / REFERENCE_DECODE_TOK_S, 3),
+                "decode_min_tok_s": round(decode_rates[0], 2),
+                "decode_max_tok_s": round(decode_rates[-1], 2),
+                "repeats": len(samples),
                 "prefill_tok_s": round(prefill_tok_s, 2),
                 "device_burst_tok_s": round(device_tok_s, 2),
                 "per_step_loop_tok_s": round(per_step_tok_s, 2),

@@ -141,7 +141,8 @@ def main():
         for name, call in [
             ("gather", kernel_call(_gqmm_gather_pallas, qt)),
             ("walk", kernel_call(_gqmm_magic_pallas, qt)),
-            ("xla", lambda xx, ss: xla_grouped(xx, qt, ss)),
+            # XLA path takes logical-K activations; kernels take padded.
+            ("xla", lambda xx, ss: xla_grouped(xx[:, :K], qt, ss)),
         ]:
             dt = timed(call, x, sizes)
             # XLA reads the FULL stack (dequant of all E experts).

@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""On-device Pallas kernel gate (VERDICT round-2 item #7).
+
+Compiles and oracle-checks every Pallas kernel family at ONE small shape
+on the real TPU, so kernel regressions surface without a benchmark
+campaign. Prints one JSON line: {"passed": [...], "failed": {...}} and
+exits non-zero on any failure. Runnable by the bench driver alongside
+bench.py (reference analog: real-hardware CI, .github/workflows/macos.yml).
+
+Usage: python scripts/tpu_smoke.py           (~5 min: one remote compile
+per kernel family; subsequent runs hit the compilation cache)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import traceback
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _close(got, want, atol=5e-2, rtol=5e-2):
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=rtol, atol=atol,
+    )
+
+
+def smoke_flash_prefill():
+    from tiny_llm_tpu.kernels.flash_attention import flash_attention
+    from tiny_llm_tpu.kernels.flash_attention_pallas import flash_attention_pallas
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, 8, 128, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(2, 4, 128, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(2, 4, 128, 64)), jnp.bfloat16)
+    got = flash_attention_pallas(q, k, v, mask="causal")
+    want = flash_attention(q, k, v, mask="causal", impl="xla")
+    _close(got, want)
+
+
+def smoke_flash_decode():
+    from tiny_llm_tpu.kernels.flash_attention import flash_attention
+    from tiny_llm_tpu.kernels.flash_attention_pallas import flash_attention_pallas
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(2, 8, 1, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(2, 4, 256, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(2, 4, 256, 64)), jnp.bfloat16)
+    lens = jnp.asarray([100, 256], jnp.int32)
+    got = flash_attention_pallas(q, k, v, mask="causal", lens=lens)
+    want = flash_attention(q, k, v, mask="causal", lens=lens, impl="xla")
+    _close(got, want)
+
+
+def _paged_setup(P=16, Hkv=4, ps=16, D=64, B=2, Hq=8, L=1, seed=2):
+    rng = np.random.default_rng(seed)
+    kp = jnp.asarray(rng.normal(size=(P, Hkv, ps, D)), jnp.bfloat16)
+    vp = jnp.asarray(rng.normal(size=(P, Hkv, ps, D)), jnp.bfloat16)
+    q = jnp.asarray(rng.normal(size=(B, Hq, L, D)), jnp.bfloat16)
+    table = jnp.asarray([[1, 3, 5, -1], [2, 4, -1, -1]], jnp.int32)
+    lens = jnp.asarray([3 * ps - 5, ps + 7], jnp.int32)
+    return q, kp, vp, table, lens
+
+
+def smoke_paged_decode():
+    from tiny_llm_tpu.kernels.paged_attention import paged_attention
+    from tiny_llm_tpu.kernels.paged_attention_pallas import paged_flash_decode
+
+    q, kp, vp, table, lens = _paged_setup()
+    got = paged_flash_decode(q, kp, vp, table, lens)
+    want = paged_attention(q, kp, vp, table, lens, impl="xla")
+    _close(got, want)
+
+
+def smoke_paged_decode_gather():
+    from tiny_llm_tpu.kernels.paged_attention import paged_attention
+    from tiny_llm_tpu.kernels.paged_attention_pallas import (
+        paged_flash_decode_gather,
+    )
+
+    q, kp, vp, table, lens = _paged_setup(seed=3)
+    got = paged_flash_decode_gather(q, kp, vp, table, lens)
+    want = paged_attention(q, kp, vp, table, lens, impl="xla")
+    _close(got, want)
+
+
+def smoke_paged_prefill():
+    from tiny_llm_tpu.kernels.paged_attention import paged_attention
+    from tiny_llm_tpu.kernels.paged_attention_pallas import paged_flash_prefill
+
+    q, kp, vp, table, lens = _paged_setup(L=32, seed=4)
+    got = paged_flash_prefill(q, kp, vp, table, lens, mask="causal")
+    want = paged_attention(q, kp, vp, table, lens, mask="causal", impl="xla")
+    _close(got, want)
+
+
+def smoke_quant_matmul():
+    from tiny_llm_tpu.kernels.quant_matmul import quantized_matmul
+    from tiny_llm_tpu.ops.quantize import dequantize, quantize
+
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.normal(size=(512, 1024)).astype(np.float32) * 0.1)
+    qt = jax.jit(quantize, static_argnames=("group_size", "bits", "layout"))(
+        w, layout="magic_t"
+    )
+    wd = dequantize(qt, jnp.bfloat16)[:, :1024]
+    for rows in (1, 64):  # matvec and matmul dispatch arms
+        x = jnp.asarray(rng.normal(size=(rows, 1024)), jnp.bfloat16)
+        got = quantized_matmul(x, qt)
+        want = x @ wd.T
+        _close(got, want, atol=0.5)
+
+
+def smoke_moe_gather_and_walk():
+    from tiny_llm_tpu.kernels.moe_matmul import (
+        _gqmm_gather_pallas,
+        _gqmm_magic_pallas,
+    )
+    from tiny_llm_tpu.ops.quantize import dequantize, quantize_stacked
+
+    rng = np.random.default_rng(6)
+    E, N, K, T = 8, 256, 512, 16
+    w = jnp.asarray(rng.normal(size=(E, N, K)).astype(np.float32) * 0.1)
+    qt = jax.jit(
+        quantize_stacked, static_argnames=("group_size", "bits", "layout")
+    )(w, layout="magic_t")
+    ids = np.sort(rng.integers(0, E, size=T))
+    sizes = jnp.asarray(np.bincount(ids, minlength=E), jnp.int32)
+    x = jnp.asarray(rng.normal(size=(T, qt.k_padded)), jnp.bfloat16)
+    wd = dequantize(qt, jnp.bfloat16)[..., :K]
+    want = jnp.einsum("tk,tnk->tn", x[:, :K].astype(jnp.float32),
+                      wd[ids].astype(jnp.float32))
+    for fn in (_gqmm_gather_pallas, _gqmm_magic_pallas):
+        got = fn(x, qt.packed, qt.scales, qt.biases, sizes,
+                 group_size=qt.group_size, bits=qt.bits)
+        _close(got, want, atol=0.5)
+
+
+def smoke_split_prefill():
+    from tiny_llm_tpu.kernels.flash_attention import flash_attention
+    from tiny_llm_tpu.kernels.split_prefill import split_paged_prefill
+
+    rng = np.random.default_rng(7)
+    P, Hkv, ps, D, B, Hq, L = 16, 4, 16, 64, 1, 8, 32
+    kp = jnp.zeros((P, Hkv, ps, D), jnp.bfloat16)
+    vp = jnp.zeros((P, Hkv, ps, D), jnp.bfloat16)
+    offsets = jnp.asarray([ps], jnp.int32)  # one full prefix page
+    prefix_k = jnp.asarray(rng.normal(size=(B, Hkv, ps, D)), jnp.bfloat16)
+    prefix_v = jnp.asarray(rng.normal(size=(B, Hkv, ps, D)), jnp.bfloat16)
+    # page layout [Hkv, ps, D]: page 1 holds the whole prefix
+    kp = kp.at[1].set(prefix_k[0])
+    vp = vp.at[1].set(prefix_v[0])
+    q = jnp.asarray(rng.normal(size=(B, Hq, L, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, L, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, L, D)), jnp.bfloat16)
+    table = jnp.asarray([[1, 2, 3, -1]], jnp.int32)
+    got = split_paged_prefill(q, k, v, kp, vp, table, offsets)
+    k_full = jnp.concatenate([prefix_k, k], axis=2)
+    v_full = jnp.concatenate([prefix_v, v], axis=2)
+    lens = offsets + L
+    want = flash_attention(q, k_full, v_full, mask="causal", lens=lens,
+                           impl="xla")
+    _close(got, want)
+
+
+def smoke_axpby():
+    from tiny_llm_tpu.kernels.axpby import axpby
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(256, 256)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(256, 256)), jnp.float32)
+    _close(axpby(2.0, x, 3.0, y), 2.0 * x + 3.0 * y, atol=1e-5)
+
+
+SMOKES = [
+    ("flash_prefill", smoke_flash_prefill),
+    ("flash_decode", smoke_flash_decode),
+    ("paged_decode", smoke_paged_decode),
+    ("paged_decode_gather", smoke_paged_decode_gather),
+    ("paged_prefill", smoke_paged_prefill),
+    ("quant_matmul", smoke_quant_matmul),
+    ("moe_gqmm", smoke_moe_gather_and_walk),
+    ("split_prefill", smoke_split_prefill),
+    ("axpby", smoke_axpby),
+]
+
+
+def main() -> int:
+    from tiny_llm_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    backend = jax.default_backend()
+    passed, failed = [], {}
+    for name, fn in SMOKES:
+        try:
+            fn()
+            passed.append(name)
+            print(f"PASS {name}", file=sys.stderr, flush=True)
+        except Exception as e:
+            failed[name] = f"{type(e).__name__}: {e}"
+            traceback.print_exc(file=sys.stderr)
+    print(json.dumps({
+        "metric": "tpu_kernel_smoke",
+        "backend": backend,
+        "device": str(jax.devices()[0]),
+        "passed": passed,
+        "failed": failed,
+        "ok": not failed,
+    }))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

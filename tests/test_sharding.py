@@ -549,7 +549,9 @@ def test_dp_batching_cache_is_sharded_over_dp():
         dp_model.create_batching_kv_cache(max_active_requests=3)
 
 
-def test_dp_rejects_paged_model():
+def test_dp_paged_requires_strategy_attn():
+    """A paged model without DPPagedAttention cannot run stripe-local
+    page writes; DPServing must refuse it with guidance."""
     from tiny_llm_tpu.parallel import DPServing
 
     cfg = tp_config()
@@ -557,5 +559,145 @@ def test_dp_rejects_paged_model():
     scfg = ShardingConfig(mesh)
     model = Qwen3Model(random_params(cfg, key=0), cfg, max_seq_len=64)
     model.enable_paged_attention(num_pages=8, page_size=8)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="DPPagedAttention"):
         DPServing(model, scfg)
+
+
+# ---------------------------------------------------------------------------
+# DP x paged pool (VERDICT round-2 item #3): dp-striped page allocation,
+# stripe-local writes/reads, full serving text equality.
+# ---------------------------------------------------------------------------
+
+
+def test_dp_striped_pool_allocation_pinning():
+    from tiny_llm_tpu.kv.paged import PagePool, PagedKVCache
+
+    pool = PagePool(
+        num_layers=1, num_pages=16, num_kv_heads=2, page_size=8,
+        head_dim=16, dp_shards=2, native=False,
+    )
+    # Pages 0 and 8 are the per-replica trash pages: never allocated.
+    assert pool.reserved_pages == 2
+    assert pool.free_pages == 14
+    c0 = PagedKVCache(pool, shard=0)
+    c1 = PagedKVCache(pool, shard=1)
+    c0.ensure_capacity(30)  # 4 pages
+    c1.ensure_capacity(20)  # 3 pages
+    assert all(1 <= p <= 7 for p in c0.page_ids), c0.page_ids
+    assert all(9 <= p <= 15 for p in c1.page_ids), c1.page_ids
+    # Exhaustion is per-stripe even when the other stripe has room.
+    c0.ensure_capacity(7 * 8)
+    with pytest.raises(RuntimeError, match="stripe 0"):
+        c0.ensure_capacity(8 * 8)
+    # Auto-pinning picks the emptiest stripe.
+    c2 = PagedKVCache(pool)
+    assert c2.shard == 1
+    c0.release()
+    c1.release()
+    assert pool.free_pages == 14
+
+
+def _dp_paged_setup(B, P_pages=16, Hq=8, Hkv=4, ps=8, D=64, L=1, seed=0):
+    """Block tables obeying the DP pinning invariant for dp=2: rows in
+    the first half of the batch use pages [1,8), second half [9,16)."""
+    rng = np.random.default_rng(seed)
+    kp = jnp.asarray(rng.normal(size=(P_pages, Hkv, ps, D)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(P_pages, Hkv, ps, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, Hq, L, D)), jnp.float32)
+    maxp = 3
+    P_loc = P_pages // 2
+    table = np.full((B, maxp), -1, np.int32)
+    lens = np.zeros((B,), np.int32)
+    for b in range(B):
+        base = 1 if b < B // 2 or B == 1 else P_loc + 1
+        n = int(rng.integers(1, maxp + 1))
+        pages = rng.choice(np.arange(base, base + P_loc - 1), size=n,
+                           replace=False)
+        table[b, :n] = pages
+        lens[b] = int(rng.integers((n - 1) * ps + 1, n * ps + 1))
+    return q, kp, vp, jnp.asarray(table), jnp.asarray(lens)
+
+
+@pytest.mark.parametrize("B", [4, 1])
+def test_dp_paged_attention_matches_single_pool(B):
+    """Both regimes (batched dp-sharded decode; B=1 replicated prefill
+    combine) must equal the single-pool oracle."""
+    from tiny_llm_tpu.kernels.paged_attention import paged_attention
+    from tiny_llm_tpu.parallel import DPPagedAttention
+
+    q, kp, vp, table, lens = _dp_paged_setup(B)
+    ref = paged_attention(q, kp, vp, table, lens, impl="xla")
+    scfg = ShardingConfig(make_mesh(dp=2, tp=4))
+    dpa = DPPagedAttention(scfg, inner="xla")
+    got = dpa.paged(q, kp, vp, table, lens)
+    assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        jnp.float32, atol=2e-4,
+    )
+
+
+def test_dp_paged_update_is_stripe_local():
+    """Writes land in the owning replica's stripe; foreign/idle
+    positions land in that replica's local trash page, never a live
+    page of another replica."""
+    from tiny_llm_tpu.parallel import DPPagedAttention
+
+    scfg = ShardingConfig(make_mesh(dp=2, tp=4))
+    dpa = DPPagedAttention(scfg, inner="xla")
+    P_pages, Hkv, ps, D = 8, 4, 4, 16
+    B, L = 4, 1
+    kp = jnp.zeros((P_pages, Hkv, ps, D), jnp.float32)
+    vp = jnp.zeros_like(kp)
+    k = jnp.ones((B, Hkv, L, D), jnp.float32) * jnp.arange(
+        1, B + 1, dtype=jnp.float32
+    ).reshape(B, 1, 1, 1)
+    v = -k
+    # Rows 0-1 (replica 0) write pages 1 and 2; rows 2-3 (replica 1)
+    # write pages 5 and 6; page 3 gets an idle -1 write.
+    idx = jnp.asarray([[1], [2], [5], [-1]], jnp.int32)
+    slot = jnp.asarray([[0], [1], [2], [3]], jnp.int32)
+    kp2, vp2 = dpa.paged_update(kp, vp, k, v, idx, slot)
+    kp2 = np.asarray(kp2)
+    assert kp2[1, 0, 0, 0] == 1.0
+    assert kp2[2, 0, 1, 0] == 2.0
+    assert kp2[5, 0, 2, 0] == 3.0
+    # The idle row (replica 1) wrote its LOCAL trash page 4, not page 0.
+    assert kp2[4, 0, 3, 0] == 4.0
+    assert kp2[0].sum() == 0  # replica 0's trash page untouched
+    # No live page of the other replica was touched.
+    assert kp2[3].sum() == 0 and kp2[6].sum() == 0 and kp2[7].sum() == 0
+
+
+def test_dp_paged_batch_generate_matches_single_device():
+    """Full continuous-batching run over the PAGED pool with dp=2 x tp=4
+    must produce the exact texts of the single-device paged run."""
+    from tiny_llm_tpu.serving.batch import batch_generate
+    from tiny_llm_tpu.parallel import DPPagedAttention, DPServing
+    from .utils import FakeTokenizer
+
+    cfg = tp_config()
+    params = random_params(cfg, key=0, quantized=False)
+    tok = FakeTokenizer()
+    prompts = [f"prompt number {i} padding" for i in range(6)]
+
+    single = Qwen3Model(params, cfg, max_seq_len=64, attn_impl="xla")
+    single.enable_paged_attention(num_pages=33, page_size=8)
+    want = sorted(
+        batch_generate(single, tok, list(prompts), max_seq_len=64,
+                       batch_size=4, prefill_step=8, max_output_tokens=5)
+    )
+
+    mesh = make_mesh(dp=2, tp=4)
+    scfg = ShardingConfig(mesh)
+    model = Qwen3Model(
+        shard_params(params, scfg), cfg, max_seq_len=64,
+        attn_impl=DPPagedAttention(scfg, inner="xla"),
+    )
+    model.enable_paged_attention(num_pages=34, page_size=8)
+    dp_model = DPServing(model, scfg)
+    got = sorted(
+        batch_generate(dp_model, tok, list(prompts), max_seq_len=64,
+                       batch_size=4, prefill_step=8, max_output_tokens=5)
+    )
+    assert got == want
+    assert model.page_pool.live_pages == 0  # all released, no leaks

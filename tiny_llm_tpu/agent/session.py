@@ -138,8 +138,21 @@ class SessionLog:
                     "another writer owns this session"
                 )
             payload = line.encode("utf-8")
-            os.write(fd, payload)
-            os.fsync(fd)
+            try:
+                os.write(fd, payload)
+                os.fsync(fd)
+            except BaseException:
+                # An event is only real once write+fsync BOTH succeeded.
+                # Roll the file back to the validated head so the on-disk
+                # log never holds an event this handle does not (a torn
+                # partial write would otherwise be silently completed by
+                # a later reader). Truncation failure leaves a torn tail,
+                # which load() already recovers.
+                try:
+                    os.ftruncate(fd, actual)
+                except OSError:
+                    pass
+                raise
             self._expected_size = actual + len(payload)
         finally:
             os.close(fd)

@@ -22,6 +22,23 @@ from ..ops.attention import scaled_dot_product_attention_grouped
 from .dispatch import resolve
 
 
+def normalize_mask(mask: jax.Array, B: int, L: int, S: int) -> jax.Array:
+    """Canonicalize an explicit additive mask to [B, H-or-1, L, S].
+
+    Accepted: [L, S] (shared), [B, L, S] (per row), [B, 1-or-H, L, S].
+    A bare rank-3 mask under raw numpy broadcasting would silently align
+    its batch axis with the HEAD axis of [B, H, L, S] scores — this
+    contract removes that trap for every implementation."""
+    if mask.ndim == 2:
+        assert mask.shape == (L, S), (mask.shape, (L, S))
+        return mask[None, None]
+    if mask.ndim == 3:
+        assert mask.shape == (B, L, S), (mask.shape, (B, L, S))
+        return mask[:, None]
+    assert mask.ndim == 4 and mask.shape[0] == B and mask.shape[2:] == (L, S)
+    return mask
+
+
 def _length_mask(
     L: int, S: int, lens: jax.Array, causal: bool, dtype=jnp.float32
 ) -> jax.Array:
@@ -58,9 +75,11 @@ def flash_attention(
         from .flash_attention_pallas import flash_attention_pallas
 
         return flash_attention_pallas(q, k, v, scale=scale, mask=mask, lens=lens)
+    B, Hq, L, D = q.shape
+    S = k.shape[2]
+    if isinstance(mask, jax.Array):
+        mask = normalize_mask(mask, B, L, S)
     if lens is not None:
-        B, Hq, L, D = q.shape
-        S = k.shape[2]
         m = _length_mask(L, S, lens, causal=(mask == "causal"))
         if isinstance(mask, jax.Array):
             m = m + mask.astype(m.dtype)

@@ -40,6 +40,7 @@ def _flash_inner(
     m_ref,  # [R, 128] f32 scratch (running max, broadcast on lanes)
     l_ref,  # [R, 128] f32 scratch (running denominator)
     acc_ref,  # [R, D] f32 scratch
+    mask_tile=None,  # [R, BS] f32 additive mask (explicit-mask path)
 ):
     """One KV tile of online-softmax attention for R query rows."""
     BS = k.shape[0]
@@ -51,6 +52,11 @@ def _flash_inner(
     )  # [R, BS]
     k_pos = tile_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+    if mask_tile is not None:
+        # Additive mask AFTER the length clamp (the reference decode
+        # kernel's explicit-mask contract, week2_kernels.py:98-147):
+        # -inf entries floor at NEG_INF so masked rows stay identity.
+        s = jnp.maximum(s + mask_tile, NEG_INF)
 
     m_prev = m_ref[:, :1]  # [R, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)  # [R, 1]
@@ -124,6 +130,54 @@ def _decode_kernel(
         o_ref[0, 0] = out.reshape(n_rep, L, D).astype(o_ref.dtype)
 
 
+def _decode_kernel_masked(
+    lens_ref,  # [B] i32 (scalar prefetch)
+    q_ref,  # [1, 1, n_rep, L, D]
+    k_ref,  # [1, 1, BS, D]
+    v_ref,
+    mask_ref,  # [1, L, BS] f32 additive
+    o_ref,
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    bs: int,
+    scale: float,
+):
+    """Decode kernel with an EXPLICIT additive mask streamed as a third
+    tiled input (reference week2 decode kernel contract,
+    week2_kernels.py:98-147 / week2_kernels.metal:119-235): the mask
+    replaces causality; the per-row length still bounds visibility."""
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    n_rep, L, D = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
+    R = n_rep * L
+    ctx = lens_ref[b]
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s * bs < ctx)
+    def _():
+        q = q_ref[0, 0].reshape(R, D).astype(jnp.float32) * scale
+        # Explicit mask governs causality; length-only clamp here.
+        q_pos = jnp.broadcast_to(ctx - 1, (R, 1))
+        mk = mask_ref[0].astype(jnp.float32)  # [L, BS]
+        mk = jnp.broadcast_to(mk[None], (n_rep, L, bs)).reshape(R, bs)
+        _flash_inner(
+            q, k_ref[0, 0], v_ref[0, 0], q_pos, s * bs,
+            m_ref, l_ref, acc_ref, mask_tile=mk,
+        )
+
+    @pl.when(s == pl.num_programs(2) - 1)
+    def _():
+        out = acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0, 0] = out.reshape(n_rep, L, D).astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "bs", "interpret")
 )
@@ -138,6 +192,7 @@ def _flash_decode(
     # 4096 adds <1%. Short contexts clamp to S anyway.
     bs: int = 2048,
     interpret: bool = False,
+    mask: jax.Array | None = None,  # [B, L, S] additive
 ) -> jax.Array:
     B, Hq, L, D = q.shape
     Hkv, S = k.shape[1], k.shape[2]
@@ -155,14 +210,30 @@ def _flash_decode(
         last = jnp.maximum((lens_ref[b] + bs - 1) // bs - 1, 0)
         return (b, h, jnp.minimum(s, last), 0)
 
+    def mask_map(b, h, s, lens_ref):
+        last = jnp.maximum((lens_ref[b] + bs - 1) // bs - 1, 0)
+        return (b, 0, jnp.minimum(s, last))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, n_rep, L, D), q_map),
+        pl.BlockSpec((1, 1, bs, D), kv_map),
+        pl.BlockSpec((1, 1, bs, D), kv_map),
+    ]
+    inputs = [lens.astype(jnp.int32), q.reshape(B, Hkv, n_rep, L, D), k, v]
+    if mask is not None:
+        assert mask.shape == (B, L, S), mask.shape
+        if S % bs:
+            mask = jnp.pad(mask, ((0, 0), (0, 0), (0, n_tiles * bs - S)))
+        in_specs.append(pl.BlockSpec((1, L, bs), mask_map))
+        inputs.append(mask.astype(jnp.float32))
+        kernel = functools.partial(_decode_kernel_masked, bs=bs, scale=scale)
+    else:
+        kernel = functools.partial(_decode_kernel, bs=bs, scale=scale)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hkv, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 1, n_rep, L, D), q_map),
-            pl.BlockSpec((1, 1, bs, D), kv_map),
-            pl.BlockSpec((1, 1, bs, D), kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, n_rep, L, D), q_map),
         scratch_shapes=[
             pltpu.VMEM((R, 128), jnp.float32),
@@ -170,9 +241,6 @@ def _flash_decode(
             pltpu.VMEM((R, D), jnp.float32),
         ],
     )
-    qg = q.reshape(B, Hkv, n_rep, L, D)
-
-    kernel = functools.partial(_decode_kernel, bs=bs, scale=scale)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -183,7 +251,7 @@ def _flash_decode(
             transcendentals=B * Hq * L * S,
         ),
         interpret=interpret,
-    )(lens.astype(jnp.int32), qg, k, v)
+    )(*inputs)
     return out.reshape(B, Hq, L, D)
 
 
@@ -306,6 +374,52 @@ def flash_decode_state_pallas(
     )
 
 
+def _prefill_kernel_masked(
+    lens_ref,  # [B] i32
+    q_ref,  # [1, 1, BQ, D]
+    k_ref,  # [1, 1, BS, D]
+    v_ref,
+    mask_ref,  # [1, BQ, BS] f32 additive
+    o_ref,  # [1, 1, BQ, D]
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    bq: int,
+    bs: int,
+    L: int,
+    scale: float,
+):
+    """Prefill kernel with an explicit additive mask streamed as a third
+    tiled input: the mask replaces causality (reference
+    week2_kernels.py:60-95), the per-row length still bounds visibility."""
+    b = pl.program_id(0)
+    s = pl.program_id(3)
+    BQ, D = q_ref.shape[2], q_ref.shape[3]
+    ctx = lens_ref[b]
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s * bs <= ctx - 1)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        q_pos = jnp.broadcast_to(ctx - 1, (BQ, 1))
+        mk = mask_ref[0].astype(jnp.float32)  # [BQ, BS]
+        _flash_inner(
+            q, k_ref[0, 0], v_ref[0, 0], q_pos, s * bs,
+            m_ref, l_ref, acc_ref, mask_tile=mk,
+        )
+
+    @pl.when(s == pl.num_programs(3) - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
 def _prefill_kernel(
     lens_ref,  # [B] i32
     q_ref,  # [1, 1, BQ, D]
@@ -372,6 +486,7 @@ def _flash_prefill(
     bq: int = 1024,
     bs: int = 1024,
     interpret: bool = False,
+    mask: jax.Array | None = None,  # [B, L, S] additive
 ) -> jax.Array:
     B, Hq, L, D = q.shape
     Hkv, S = k.shape[1], k.shape[2]
@@ -388,23 +503,41 @@ def _flash_prefill(
         last = jnp.maximum((lens_ref[b] + bs - 1) // bs - 1, 0)
         return (b, h // n_rep, jnp.minimum(s, last), 0)
 
+    def mask_map(b, h, iq, s, lens_ref):
+        last = jnp.maximum((lens_ref[b] + bs - 1) // bs - 1, 0)
+        return (b, iq, jnp.minimum(s, last))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, D), q_map),
+        pl.BlockSpec((1, 1, bs, D), kv_map),
+        pl.BlockSpec((1, 1, bs, D), kv_map),
+    ]
+    inputs = [lens.astype(jnp.int32), q, k, v]
+    if mask is not None:
+        assert mask.shape == (B, L, S), mask.shape
+        pad_l = nq * bq - L
+        pad_s = ns * bs - S
+        if pad_l or pad_s:
+            mask = jnp.pad(mask, ((0, 0), (0, pad_l), (0, pad_s)))
+        in_specs.append(pl.BlockSpec((1, bq, bs), mask_map))
+        inputs.append(mask.astype(jnp.float32))
+        kernel = functools.partial(
+            _prefill_kernel_masked, bq=bq, bs=bs, L=L, scale=scale
+        )
+    else:
+        kernel = functools.partial(
+            _prefill_kernel, bq=bq, bs=bs, L=L, scale=scale, causal=causal
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hq, nq, ns),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, D), q_map),
-            pl.BlockSpec((1, 1, bs, D), kv_map),
-            pl.BlockSpec((1, 1, bs, D), kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bq, D), q_map),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, D), jnp.float32),
         ],
-    )
-    kernel = functools.partial(
-        _prefill_kernel, bq=bq, bs=bs, L=L, scale=scale, causal=causal
     )
     out = pl.pallas_call(
         kernel,
@@ -416,7 +549,7 @@ def _flash_prefill(
             transcendentals=B * Hq * L * S,
         ),
         interpret=interpret,
-    )(lens.astype(jnp.int32), q, k, v)
+    )(*inputs)
     return out
 
 
@@ -578,13 +711,29 @@ def flash_attention_pallas(
     if lens is None:
         lens = jnp.full((B,), S, jnp.int32)
     causal = mask == "causal" or mask is None
+    mask_arr = None
     if isinstance(mask, jax.Array):
-        # Arbitrary additive masks fall back to the XLA path for now.
-        from .flash_attention import flash_attention
+        # Explicit additive masks stream through the kernels as a third
+        # tiled input (VERDICT round-2 item #6; reference decode kernel
+        # contract week2_kernels.py:98-147). Canonical shapes per
+        # flash_attention.normalize_mask; per-head masks ([B, H>1, L, S])
+        # stay on the XLA twin (no known caller; would multiply the
+        # kernel's mask traffic by H).
+        from .flash_attention import flash_attention, normalize_mask
 
-        return flash_attention(q, k, v, scale=scale, mask=mask, lens=lens, impl="xla")
+        m4 = normalize_mask(mask, B, L, S)
+        if m4.shape[1] != 1:
+            return flash_attention(
+                q, k, v, scale=scale, mask=mask, lens=lens, impl="xla"
+            )
+        mask_arr = jnp.broadcast_to(m4[:, 0], (B, L, S))
+        causal = False
     if L <= 16:
-        return _flash_decode(q, k, v, lens, scale=float(scale), interpret=interpret)
+        return _flash_decode(
+            q, k, v, lens, scale=float(scale), interpret=interpret,
+            mask=mask_arr,
+        )
     return _flash_prefill(
-        q, k, v, lens, scale=float(scale), causal=causal, interpret=interpret
+        q, k, v, lens, scale=float(scale), causal=causal, interpret=interpret,
+        mask=mask_arr,
     )

@@ -333,17 +333,18 @@ def _gqmm_gather_kernel(
     gids_ref, mtids_ref, flags_ref, goffs_ref, nlog_ref,  # scalar prefetch
     x_ref,  # [T, Kp] VMEM — whole activation set resident
     w_hbm,  # [E, Kp/8, N] ANY (HBM)
-    s_hbm,  # [E, G, N]
-    b_hbm,
+    sb_hbm,  # [E, 2G, N] — scales rows then biases rows, one descriptor
     out_ref,  # [T, N]
-    w_tile,  # [2, Kp/8, N] scratch
-    s_tile,  # [2, G, N]
-    b_tile,
+    w_tile,  # [D, Kp/8, N] scratch
+    sb_tile,  # [D, 2G, N]
     acc_ref,  # [T, N] f32
-    w_sems, s_sems, b_sems,  # DMA sems [2]
+    wdq_ref,  # [Kp, N] bf16 scratch (matdeq schedule) or [1, N] dummy
+    w_sems, sb_sems,  # DMA sems [D, NC] / [D]
     *,
     group_size: int,
     bm: int,
+    matdeq: bool,
+    probe: str | None = None,  # "nodma" | "nocompute" — perf attribution only
 ):
     """Expert-gather ragged matmul for the decode regime (small T).
 
@@ -351,30 +352,36 @@ def _gqmm_gather_kernel(
     Qwen3-30B-A3B decode shape and is ~100% fetch-bound (stream-only
     variant: 875 us vs 893 full — benches/probe_moe_sched.py). Same
     disease and cure as the paged-decode kernel: fetch each routed
-    expert's whole weight block with one contiguous manual DMA,
-    double-buffered against compute, loop bound by the true logical-tile
-    count. x and the [T, N] f32 accumulator stay VMEM-resident the whole
-    time, so per-visit accumulator traffic is one dynamic-row-slice
-    update. A hot expert spanning multiple m-tiles is re-fetched per
-    tile (decode T keeps that rare); prefill stays on the pipelined
-    kernel where compute amortizes the walk.
+    expert's whole weight block with contiguous manual DMAs, pipelined
+    D-deep against compute so many experts' fetches are in flight at
+    once (a single in-flight descriptor measured ~40 GB/s; the paged
+    kernel needed ~32 concurrent DMAs to reach 769 GB/s). Scales and
+    biases ride one merged [2G, N] descriptor. x and the [T, N] f32
+    accumulator stay VMEM-resident the whole time. A hot expert
+    spanning multiple m-tiles is re-fetched per tile (decode T keeps
+    that rare); prefill stays on the pipelined kernel where compute
+    amortizes the walk.
+
+    Round-3 A/B at the 30B-A3B decode shape
+    (benchmark_results/v5e-moe-gather-ab-2026-08-21.json): the depth-2
+    variant ran 73 GB/s — per-visit DMA issue + VPU dequant overhead
+    dominated, not bandwidth. This depth-D version overlaps unpack of
+    expert i with fetches of i+1..i+D-1.
     """
     T, Kp = x_ref.shape[0], x_ref.shape[1]
     gs = group_size
     half = gs // 2
     num_sg = w_tile.shape[1] // half
+    G = sb_tile.shape[1] // 2
     mask = jnp.uint32(0x000F000F)
     magic = jnp.uint32(0x43004300)
     nlog = nlog_ref[0]
+    D = w_tile.shape[0]  # pipeline depth (experts in flight)
     NC = w_sems.shape[1]  # concurrent chunk DMAs per expert block
     rows = w_tile.shape[1]
     chunk = rows // NC
 
     def dmas(slot, i):
-        # One monolithic DMA of the [Kp/8, N] block measured ~40 GB/s —
-        # a single in-flight descriptor can't fill HBM bandwidth (the
-        # paged-gather kernel needed ~32 concurrent page DMAs to reach
-        # 769 GB/s). Split the block into NC row-chunks issued together.
         g = gids_ref[i]
         out = [
             pltpu.make_async_copy(
@@ -385,51 +392,92 @@ def _gqmm_gather_kernel(
             for c in range(NC)
         ]
         out.append(
-            pltpu.make_async_copy(s_hbm.at[g], s_tile.at[slot], s_sems.at[slot])
-        )
-        out.append(
-            pltpu.make_async_copy(b_hbm.at[g], b_tile.at[slot], b_sems.at[slot])
+            pltpu.make_async_copy(sb_hbm.at[g], sb_tile.at[slot], sb_sems.at[slot])
         )
         return out
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    for d in dmas(0, 0):
-        d.start()
+    # Prologue: fill D-1 slots so D-1 expert fetches are in flight
+    # before the first visit computes.
+    if probe != "nodma":
+        for d in range(D - 1):
+
+            @pl.when(d < nlog)
+            def _(d=d):
+                for c in dmas(d, d):
+                    c.start()
 
     def body(i, _):
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i, D)
 
-        @pl.when(i + 1 < nlog)
-        def _():
-            for d in dmas(jax.lax.rem(i + 1, 2), i + 1):
-                d.start()
+        if probe != "nodma":
 
-        for d in dmas(slot, i):
-            d.wait()
+            @pl.when(i + D - 1 < nlog)
+            def _():
+                for c in dmas(jax.lax.rem(i + D - 1, D), i + D - 1):
+                    c.start()
+
+            for c in dmas(slot, i):
+                c.wait()
+
+        if probe == "nocompute":
+            touched = (w_tile[slot, 0, 0] & jnp.uint32(1)).astype(jnp.int32)
+            acc_ref[0, 0] += touched.astype(jnp.float32)
+            return 0
 
         g = gids_ref[i]
         row0 = pl.multiple_of(mtids_ref[i] * bm, bm)  # T padded to bm
         rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
         rmask = (rows >= goffs_ref[g]) & (rows < goffs_ref[g + 1])
         x = jnp.where(rmask, x_ref[pl.ds(row0, bm), :], 0).astype(jnp.bfloat16)
-        contrib = None
-        for sg in range(num_sg):
-            words = w_tile[slot, sg * half : (sg + 1) * half, :]
-            for j in range(4):
-                gq = sg * 4 + j
-                t = ((words >> (4 * j)) & mask) | magic
-                v = pltpu.bitcast(t, jnp.bfloat16)  # [gs, N] = 128 + q
-                xg = x[:, gq * gs : (gq + 1) * gs]
-                d = jax.lax.dot_general(
-                    xg, v,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-                s = s_tile[slot, gq : gq + 1, :].astype(jnp.float32)
-                c = b_tile[slot, gq : gq + 1, :].astype(jnp.float32) - 128.0 * s
-                term = d * s + xs * c
-                contrib = term if contrib is None else contrib + term
+        if matdeq:
+            # Materialize-then-one-dot schedule: dequantize the whole
+            # expert block into VMEM with scale AND bias folded in —
+            # w = s*(128+q) + (b - 128s - ... ) distributed as
+            # w_deq[k,n] = s*v + c/gs, whose K-sum reproduces
+            # d*s + xs*c exactly — then a single [bm,Kp]x[Kp,N] MXU dot.
+            # Replaces 4G tiny dots + per-group epilogues per visit.
+            for sg in range(num_sg):
+                words = w_tile[slot, sg * half : (sg + 1) * half, :]
+                for j in range(4):
+                    gq = sg * 4 + j
+                    t = ((words >> (4 * j)) & mask) | magic
+                    v = pltpu.bitcast(t, jnp.bfloat16)  # [gs, N] = 128 + q
+                    s = sb_tile[slot, gq : gq + 1, :].astype(jnp.float32)
+                    c = (
+                        sb_tile[slot, G + gq : G + gq + 1, :].astype(jnp.float32)
+                        - 128.0 * s
+                    ) * (1.0 / gs)
+                    wdq_ref[pl.ds(gq * gs, gs), :] = (
+                        v.astype(jnp.float32) * s + c
+                    ).astype(jnp.bfloat16)
+            contrib = jax.lax.dot_general(
+                x, wdq_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            contrib = None
+            for sg in range(num_sg):
+                words = w_tile[slot, sg * half : (sg + 1) * half, :]
+                for j in range(4):
+                    gq = sg * 4 + j
+                    t = ((words >> (4 * j)) & mask) | magic
+                    v = pltpu.bitcast(t, jnp.bfloat16)  # [gs, N] = 128 + q
+                    xg = x[:, gq * gs : (gq + 1) * gs]
+                    d = jax.lax.dot_general(
+                        xg, v,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+                    s = sb_tile[slot, gq : gq + 1, :].astype(jnp.float32)
+                    c = (
+                        sb_tile[slot, G + gq : G + gq + 1, :].astype(jnp.float32)
+                        - 128.0 * s
+                    )
+                    term = d * s + xs * c
+                    contrib = term if contrib is None else contrib + term
         acc_ref[pl.ds(row0, bm), :] += contrib
         return 0
 
@@ -438,7 +486,11 @@ def _gqmm_gather_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "bits", "interpret")
+    jax.jit,
+    static_argnames=(
+        "group_size", "bits", "interpret", "depth", "n_chunks", "bm",
+        "matdeq", "probe",
+    ),
 )
 def _gqmm_gather_pallas(
     x_pad: jax.Array,  # [T, k_padded] bf16, rows sorted by expert
@@ -449,24 +501,38 @@ def _gqmm_gather_pallas(
     group_size: int,
     bits: int,
     interpret: bool = False,
+    depth: int = 8,
+    n_chunks: int | None = None,
+    bm: int | None = None,
+    matdeq: bool = False,
+    probe: str | None = None,
 ) -> jax.Array:
+    """depth/n_chunks/bm defaults come from the round-3 TPU sweep
+    (benches/probe_moe_gather_sweep.py, results in
+    benchmark_results/v5e-moe-gather-ab-2026-08-21.json)."""
     assert bits == 4
     T, K = x_pad.shape
     E, _, N = packed.shape
     G = scales.shape[1]
-    bm = min(16, T)
+    if bm is None:
+        bm = min(16, T)
+    bm = min(bm, T)
     Tp = _cdiv(T, bm) * bm
     if Tp != T:
         x_pad = jnp.pad(x_pad, ((0, Tp - T), (0, 0)))
     tiles_m = Tp // bm
     gids, mtids, flags, goffs = _group_metadata(group_sizes, Tp, bm, E, tiles_m)
-    # chunk count: keep chunks ~96-128 KiB and row-divisible
     rows_w = K // 8
-    n_chunks = 1
-    while n_chunks < 8 and rows_w % (2 * n_chunks) == 0 and (
-        rows_w // (2 * n_chunks)
-    ) * N * 4 >= 64 * 1024:
-        n_chunks *= 2
+    if n_chunks is None:
+        # keep chunks ~96-128 KiB and row-divisible
+        n_chunks = 1
+        while n_chunks < 8 and rows_w % (2 * n_chunks) == 0 and (
+            rows_w // (2 * n_chunks)
+        ) * N * 4 >= 64 * 1024:
+            n_chunks *= 2
+    assert rows_w % n_chunks == 0
+    # One descriptor for scales+biases: rows [0, G) scales, [G, 2G) biases.
+    sb = jnp.concatenate([scales, biases], axis=1)
     num_logical = jnp.maximum(
         jnp.sum(
             jnp.where(
@@ -486,21 +552,20 @@ def _gqmm_gather_pallas(
             pl.BlockSpec((Tp, K), lambda g0, *s: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((Tp, N), lambda g0, *s: (0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, K // 8, N), jnp.uint32),
-            pltpu.VMEM((2, G, N), scales.dtype),
-            pltpu.VMEM((2, G, N), biases.dtype),
+            pltpu.VMEM((depth, K // 8, N), jnp.uint32),
+            pltpu.VMEM((depth, 2 * G, N), sb.dtype),
             pltpu.VMEM((Tp, N), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, n_chunks)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((K if matdeq else 8, N), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((depth, n_chunks)),
+            pltpu.SemaphoreType.DMA((depth,)),
         ],
     )
     kernel = functools.partial(
-        _gqmm_gather_kernel, group_size=group_size, bm=bm
+        _gqmm_gather_kernel, group_size=group_size, bm=bm, matdeq=matdeq,
+        probe=probe,
     )
     out = pl.pallas_call(
         kernel,
@@ -512,11 +577,11 @@ def _gqmm_gather_pallas(
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(gids, mtids, flags, goffs, num_logical.reshape(1),
-      x_pad, packed, scales, biases)
+      x_pad, packed, sb)
     return out[:T]
 
 

@@ -48,6 +48,7 @@ class PagePool:
         dtype=jnp.bfloat16,
         native: bool | None = None,
         stripe_shards: int | None = None,
+        dp_shards: int | None = None,
     ):
         self.num_layers = num_layers
         self.num_pages = num_pages
@@ -71,10 +72,32 @@ class PagePool:
         # allocation balances across the per-shard page ranges so every
         # request's context spreads evenly — the SP decode combine then
         # gets near-equal per-shard work. Pure-Python backend only.
+        # dp_shards: for a DATA-PARALLEL pool (page axis split over
+        # dp_shards replicas, parallel/dp.py) allocation is PINNED — every
+        # page of one request comes from one replica's stripe, so that
+        # replica's shard_map'd decode step never reads a foreign page.
+        # The opposite of SP striping (which spreads one request across
+        # shards). Page s*P_loc is reserved as replica s's local trash
+        # page (block-table -1 entries clamp there shard-locally).
+        self.dp_shards = dp_shards
+        self._pinned_free: list[list[int]] | None = None
+        if dp_shards:
+            assert not stripe_shards, "dp_shards and stripe_shards are exclusive"
+            assert num_pages % dp_shards == 0, (
+                f"num_pages {num_pages} must divide over {dp_shards} replicas"
+            )
+            p_loc = num_pages // dp_shards
+            assert p_loc >= 2, "each dp stripe needs at least trash + 1 page"
+            self._pinned_free = [
+                list(range((s + 1) * p_loc - 1, s * p_loc, -1))
+                for s in range(dp_shards)
+            ]
         self.stripe_shards = stripe_shards
         self.native_index = None
         self._free_by_shard: list[list[int]] | None = None
-        if stripe_shards:
+        if dp_shards:
+            pass  # bookkeeping handled above (pure Python)
+        elif stripe_shards:
             assert num_pages % stripe_shards == 0, (
                 f"num_pages {num_pages} must divide over {stripe_shards} shards"
             )
@@ -101,13 +124,29 @@ class PagePool:
     def free_pages(self) -> int:
         if self.native_index is not None:
             return self.native_index.free_pages
+        if self._pinned_free is not None:
+            return sum(len(f) for f in self._pinned_free)
         if self._free_by_shard is not None:
             return sum(len(f) for f in self._free_by_shard)
         return len(self._free)
 
     @property
+    def reserved_pages(self) -> int:
+        """Trash pages: one per dp replica (shard-local), else one global."""
+        return self.dp_shards if self.dp_shards else 1
+
+    @property
     def live_pages(self) -> int:
-        return self.num_pages - 1 - self.free_pages
+        return self.num_pages - self.reserved_pages - self.free_pages
+
+    def least_loaded_shard(self) -> int:
+        """dp replica whose stripe has the most free pages (new requests
+        pin their allocations there)."""
+        assert self._pinned_free is not None, "not a dp-striped pool"
+        return max(
+            range(len(self._pinned_free)),
+            key=lambda s: len(self._pinned_free[s]),
+        )
 
     @property
     def reused_page_allocations(self) -> int:
@@ -115,7 +154,20 @@ class PagePool:
             return self.native_index.reused_page_allocations
         return self._reused
 
-    def allocate_page(self) -> int:
+    def allocate_page(self, shard: int | None = None) -> int:
+        if self._pinned_free is not None:
+            assert shard is not None, "dp-striped pools need a pinned shard"
+            if not self._pinned_free[shard]:
+                raise RuntimeError(
+                    f"dp stripe {shard} exhausted "
+                    f"({self.num_pages // self.dp_shards} pages); size the "
+                    "pool for max_seq_len * max_active_requests"
+                )
+            page = self._pinned_free[shard].pop()
+            if page in self._ever_allocated:
+                self._reused += 1
+            self._ever_allocated.add(page)
+            return page
         if self.native_index is not None:
             return self.native_index.allocate_page()
         if self._free_by_shard is not None:
@@ -144,6 +196,10 @@ class PagePool:
         return page
 
     def free_page(self, page: int) -> None:
+        if self._pinned_free is not None:
+            p_loc = self.num_pages // self.dp_shards
+            self._pinned_free[page // p_loc].append(page)
+            return
         if self.native_index is not None:
             self.native_index.free_page(page)
             return
@@ -154,6 +210,13 @@ class PagePool:
         self._free.append(page)
 
     def reset(self) -> None:
+        if self._pinned_free is not None:
+            p_loc = self.num_pages // self.dp_shards
+            self._pinned_free = [
+                list(range((s + 1) * p_loc - 1, s * p_loc, -1))
+                for s in range(self.dp_shards)
+            ]
+            return
         if self.native_index is not None:
             from ..native import NativePageIndex
 
@@ -184,9 +247,14 @@ class PagedKVCache(KVCache):
     Layer-invariant: one id list serves every layer (see PagePool).
     """
 
-    def __init__(self, pool: PagePool):
+    def __init__(self, pool: PagePool, shard: int | None = None):
         self.pool = pool
         self._native = pool.native_index
+        # dp-striped pools pin every page of this request to one replica
+        # stripe (parallel/dp.py); pick the emptiest stripe by default.
+        if pool.dp_shards and shard is None:
+            shard = pool.least_loaded_shard()
+        self.shard = shard
         if self._native is not None:
             self._req = self._native.request_create()
         else:
@@ -214,7 +282,9 @@ class PagedKVCache(KVCache):
         ps = self.pool.page_size
         needed = (new_offset + ps - 1) // ps
         while len(self.page_ids) < needed:
-            self.page_ids.append(self.pool.allocate_page())
+            self.page_ids.append(self.pool.allocate_page(shard=self.shard)
+                                 if self.pool.dp_shards
+                                 else self.pool.allocate_page())
 
     def advance(self, n: int) -> None:
         """Record n appended tokens (pages must already be ensured)."""

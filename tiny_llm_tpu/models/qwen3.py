@@ -445,13 +445,18 @@ def forward_step_paged(
     ps = key_pages.shape[3]
     positions = offsets[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
     lens = offsets + L
-    # Physical target of every appended token: -1 (idle slot) pages clamp
-    # to the pool's trash page 0.
-    page_idx = jnp.take_along_axis(
+    # Physical target of every appended token. -1 (idle slot) entries stay
+    # raw here; the writer clamps them to a trash page — global page 0 on
+    # the inline path, the replica-local trash page under a DP strategy.
+    page_idx_raw = jnp.take_along_axis(
         block_table, jnp.minimum(positions // ps, block_table.shape[1] - 1), axis=1
     )
-    page_idx = jnp.maximum(page_idx, 0)  # [B, L]
+    page_idx = jnp.maximum(page_idx_raw, 0)  # [B, L]
     slot = positions % ps  # [B, L]
+    # Strategy objects (parallel/dp.py DPPagedAttention) own the page
+    # write when the pool's page axis is sharded: the scatter must run
+    # shard-locally with stripe-relative indices.
+    strategy_update = getattr(attn_impl, "paged_update", None)
 
     scale = cfg.head_dim**-0.5
     h = _embed(params, tokens)
@@ -461,9 +466,14 @@ def forward_step_paged(
             cfg, layer.attn, h, positions, rope_tabs,
             norm_w=layer.input_layernorm,
         )
-        # [B, H, L, D] -> [B, L, H, D] to match scatter index layout.
-        kp = kp.at[i, page_idx, :, slot, :].set(k.transpose(0, 2, 1, 3))
-        vp = vp.at[i, page_idx, :, slot, :].set(v.transpose(0, 2, 1, 3))
+        if strategy_update is not None:
+            kp_i, vp_i = strategy_update(kp[i], vp[i], k, v, page_idx_raw, slot)
+            kp = kp.at[i].set(kp_i)
+            vp = vp.at[i].set(vp_i)
+        else:
+            # [B, H, L, D] -> [B, L, H, D] to match scatter index layout.
+            kp = kp.at[i, page_idx, :, slot, :].set(k.transpose(0, 2, 1, 3))
+            vp = vp.at[i, page_idx, :, slot, :].set(v.transpose(0, 2, 1, 3))
         if local_attention:
             attn = flash_attention(
                 q, k, v, scale=scale, mask="causal", impl=attn_impl

@@ -13,7 +13,7 @@ from .sharding import (
     shard_kv_cache,
     shard_params,
 )
-from .dp import DPServing
+from .dp import DPPagedAttention, DPServing
 from .ep_moe import EPMoE
 from .sp_attention import SPAttention, combine_softmax_states
 from .tp_kernels import TPAttention, paged_pool_spec
@@ -42,6 +42,7 @@ __all__ = [
     "param_shardings",
     "shard_kv_cache",
     "shard_params",
+    "DPPagedAttention",
     "DPServing",
     "EPMoE",
     "SPAttention",

@@ -189,19 +189,26 @@ def batch_generate(
                     pending.kv_cache.release()
                     pending = None
                     continue
-                for i in range(batch_size):
-                    if decode_requests[i] is None:
-                        kv_cache.add_request(pending.kv_cache, i)
-                        if not getattr(kv_cache, "owns_added_requests", False):
-                            # Dense batching copies the rows in; the
-                            # source cache can free its slab. Paged
-                            # installation takes ownership instead.
-                            pending.kv_cache.release()
-                        decode_requests[i] = pending
-                        pending = None
-                        break
+                free_slots = [
+                    i for i in range(batch_size) if decode_requests[i] is None
+                ]
+                # Placement-constrained caches (DP replica pinning) veto
+                # slots; the default takes the first free one.
+                if hasattr(kv_cache, "choose_slot"):
+                    slot = kv_cache.choose_slot(pending.kv_cache, free_slots)
+                else:
+                    slot = free_slots[0] if free_slots else None
+                if slot is not None:
+                    kv_cache.add_request(pending.kv_cache, slot)
+                    if not getattr(kv_cache, "owns_added_requests", False):
+                        # Dense batching copies the rows in; the source
+                        # cache can free its slab. Paged installation
+                        # takes ownership instead.
+                        pending.kv_cache.release()
+                    decode_requests[slot] = pending
+                    pending = None
                 if pending is not None:
-                    break  # prefilled but no free slot: stop prefilling
+                    break  # prefilled but no compatible slot: stop prefilling
 
         if any(r is not None for r in decode_requests):
             active = sum(1 for r in decode_requests if r is not None)
