@@ -173,7 +173,7 @@ def smoke_axpby():
     rng = np.random.default_rng(8)
     x = jnp.asarray(rng.normal(size=(256, 256)), jnp.float32)
     y = jnp.asarray(rng.normal(size=(256, 256)), jnp.float32)
-    _close(axpby(2.0, x, 3.0, y), 2.0 * x + 3.0 * y, atol=1e-5)
+    _close(axpby(x, y, alpha=2.0, beta=3.0), 2.0 * x + 3.0 * y, atol=1e-5)
 
 
 SMOKES = [

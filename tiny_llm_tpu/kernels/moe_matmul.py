@@ -421,8 +421,12 @@ def _gqmm_gather_kernel(
                 c.wait()
 
         if probe == "nocompute":
-            touched = (w_tile[slot, 0, 0] & jnp.uint32(1)).astype(jnp.int32)
-            acc_ref[0, 0] += touched.astype(jnp.float32)
+            touched = (
+                (w_tile[slot, 0:1, 0:128] & jnp.uint32(1))
+                .astype(jnp.int32)
+                .astype(jnp.float32)
+            )
+            acc_ref[0:1, 0:128] += touched
             return 0
 
         g = gids_ref[i]
