@@ -79,6 +79,8 @@ def main():
         (8, 2, 64, True),    # 7
         (8, 1, 64, True),    # 8
         (16, 1, 64, True),   # 9
+        (16, 1, 16, False),  # 10
+        (16, 1, 64, False),  # 11
     ]
     picks = [int(a) for a in sys.argv[2:]] or list(range(len(grid)))
     results = []

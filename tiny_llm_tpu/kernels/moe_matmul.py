@@ -333,16 +333,21 @@ def _gqmm_gather_kernel(
     gids_ref, mtids_ref, flags_ref, goffs_ref, nlog_ref,  # scalar prefetch
     x_ref,  # [T, Kp] VMEM — whole activation set resident
     w_hbm,  # [E, Kp/8, N] ANY (HBM)
-    sb_hbm,  # [E, 2G, N] — scales rows then biases rows, one descriptor
+    s_hbm,  # [E, G, N] native dtype (bf16/f32)
+    b_hbm,  # [E, G, N]
     out_ref,  # [T, N]
     w_tile,  # [D, Kp/8, N] scratch
-    sb_tile,  # [D, 2G, N]
+    s_tile,  # [D, G, N]
+    b_tile,  # [D, G, N]
     acc_ref,  # [T, N] f32
-    wdq_ref,  # [Kp, N] bf16 scratch (matdeq schedule) or [1, N] dummy
-    w_sems, sb_sems,  # DMA sems [D, NC] / [D]
+    wdq_ref,  # [Kp, N] bf16 scratch (matdeq schedule) or [8, N] dummy
+    w_sems,  # DMA sems [D, NC]
+    s_sems,  # DMA sems [D]
+    b_sems,  # DMA sems [D]
     *,
     group_size: int,
     bm: int,
+    rows_w: int,  # Kp // 8
     matdeq: bool,
     probe: str | None = None,  # "nodma" | "nocompute" — perf attribution only
 ):
@@ -363,23 +368,28 @@ def _gqmm_gather_kernel(
     amortizes the walk.
 
     Round-3 A/B at the 30B-A3B decode shape
-    (benchmark_results/v5e-moe-gather-ab-2026-08-21.json): the depth-2
-    variant ran 73 GB/s — per-visit DMA issue + VPU dequant overhead
-    dominated, not bandwidth. This depth-D version overlaps unpack of
-    expert i with fetches of i+1..i+D-1.
+    (benchmark_results/v5e-moe-gather-{ab,sweep,sweep-v2}-2026-08-21.json):
+    the round-2 depth-2 schedule ran 60-73 GB/s, and EVERY schedule
+    variable measured flat — depth 2-16, 1-8 chunk descriptors, bm
+    16/64, fused single-descriptor blocks, materialize-dequant compute
+    — while DMA-only and compute-only probe builds each ran ~90% of the
+    full kernel's time. The per-visit cost (~11 us) is a fixed floor
+    this construct does not expose a lever for; the honest reading and
+    remaining ideas live in PERFORMANCE.md. Defaults (D=8, NC=1) are
+    the measured best; scales/biases stream in their native dtype so
+    the dispatch path never copies weight-derived tensors per call.
     """
     T, Kp = x_ref.shape[0], x_ref.shape[1]
     gs = group_size
     half = gs // 2
-    num_sg = w_tile.shape[1] // half
-    G = sb_tile.shape[1] // 2
+    num_sg = rows_w // half
+    G = s_tile.shape[1]
     mask = jnp.uint32(0x000F000F)
     magic = jnp.uint32(0x43004300)
     nlog = nlog_ref[0]
     D = w_tile.shape[0]  # pipeline depth (experts in flight)
-    NC = w_sems.shape[1]  # concurrent chunk DMAs per expert block
-    rows = w_tile.shape[1]
-    chunk = rows // NC
+    NC = w_sems.shape[1]  # chunk DMAs per expert weight block
+    chunk = rows_w // NC
 
     def dmas(slot, i):
         g = gids_ref[i]
@@ -392,33 +402,49 @@ def _gqmm_gather_kernel(
             for c in range(NC)
         ]
         out.append(
-            pltpu.make_async_copy(sb_hbm.at[g], sb_tile.at[slot], sb_sems.at[slot])
+            pltpu.make_async_copy(s_hbm.at[g], s_tile.at[slot], s_sems.at[slot])
+        )
+        out.append(
+            pltpu.make_async_copy(b_hbm.at[g], b_tile.at[slot], b_sems.at[slot])
         )
         return out
 
+    def sb_row(slot, r):
+        """f32 [1, N]: scale row r for r < G, bias row r-G otherwise."""
+        if r < G:
+            return s_tile[slot, r : r + 1, :].astype(jnp.float32)
+        return b_tile[slot, r - G : r - G + 1, :].astype(jnp.float32)
+
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    # Prologue: fill D-1 slots so D-1 expert fetches are in flight
+    # Prologue: fill ALL D slots so D expert fetches are in flight
     # before the first visit computes.
-    if probe != "nodma":
-        for d in range(D - 1):
+    if probe not in ("nodma", "noop"):
+        for d in range(D):
 
             @pl.when(d < nlog)
             def _(d=d):
                 for c in dmas(d, d):
                     c.start()
 
-    def body(i, _):
-        slot = jax.lax.rem(i, D)
-
-        if probe != "nodma":
-
-            @pl.when(i + D - 1 < nlog)
-            def _():
-                for c in dmas(jax.lax.rem(i + D - 1, D), i + D - 1):
-                    c.start()
-
+    # The loop walks visits in GROUPS of D with the inner slot loop
+    # statically unrolled: every w_tile[slot, ...] access then has a
+    # compile-time slot, so Mosaic constant-folds the VMEM addressing.
+    # (The earlier `slot = i % D` version spent ~12 us/visit on dynamic
+    # address arithmetic — full, DMA-only, and compute-only probes all
+    # measured the same, the signature of a scalar-bound loop.)
+    def visit(slot, i):
+        if probe not in ("nodma", "noop"):
             for c in dmas(slot, i):
                 c.wait()
+
+            @pl.when(i + D < nlog)
+            def _():
+                for c in dmas(slot, i + D):
+                    c.start()
+
+        if probe == "noop":  # loop scaffold only: no DMA, no compute
+            acc_ref[0:1, 0:128] += jnp.float32(1)
+            return
 
         if probe == "nocompute":
             touched = (
@@ -427,7 +453,7 @@ def _gqmm_gather_kernel(
                 .astype(jnp.float32)
             )
             acc_ref[0:1, 0:128] += touched
-            return 0
+            return
 
         g = gids_ref[i]
         row0 = pl.multiple_of(mtids_ref[i] * bm, bm)  # T padded to bm
@@ -441,17 +467,16 @@ def _gqmm_gather_kernel(
             # w_deq[k,n] = s*v + c/gs, whose K-sum reproduces
             # d*s + xs*c exactly — then a single [bm,Kp]x[Kp,N] MXU dot.
             # Replaces 4G tiny dots + per-group epilogues per visit.
+            # Measured SLOWER than the grouped schedule on v5e (649 vs
+            # 592 us, sweep JSON) — kept for the record, defaulted off.
             for sg in range(num_sg):
                 words = w_tile[slot, sg * half : (sg + 1) * half, :]
                 for j in range(4):
                     gq = sg * 4 + j
                     t = ((words >> (4 * j)) & mask) | magic
                     v = pltpu.bitcast(t, jnp.bfloat16)  # [gs, N] = 128 + q
-                    s = sb_tile[slot, gq : gq + 1, :].astype(jnp.float32)
-                    c = (
-                        sb_tile[slot, G + gq : G + gq + 1, :].astype(jnp.float32)
-                        - 128.0 * s
-                    ) * (1.0 / gs)
+                    s = sb_row(slot, gq)
+                    c = (sb_row(slot, G + gq) - 128.0 * s) * (1.0 / gs)
                     wdq_ref[pl.ds(gq * gs, gs), :] = (
                         v.astype(jnp.float32) * s + c
                     ).astype(jnp.bfloat16)
@@ -475,17 +500,23 @@ def _gqmm_gather_kernel(
                         preferred_element_type=jnp.float32,
                     )
                     xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-                    s = sb_tile[slot, gq : gq + 1, :].astype(jnp.float32)
-                    c = (
-                        sb_tile[slot, G + gq : G + gq + 1, :].astype(jnp.float32)
-                        - 128.0 * s
-                    )
+                    s = sb_row(slot, gq)
+                    c = sb_row(slot, G + gq) - 128.0 * s
                     term = d * s + xs * c
                     contrib = term if contrib is None else contrib + term
         acc_ref[pl.ds(row0, bm), :] += contrib
+
+    def group_body(gi, _):
+        base_i = gi * D
+        for d in range(D):  # static slot => static VMEM addressing
+
+            @pl.when(base_i + d < nlog)
+            def _(d=d):
+                visit(d, base_i + d)
+
         return 0
 
-    jax.lax.fori_loop(0, nlog, body, 0)
+    jax.lax.fori_loop(0, (nlog + D - 1) // D, group_body, 0)
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
@@ -528,15 +559,8 @@ def _gqmm_gather_pallas(
     gids, mtids, flags, goffs = _group_metadata(group_sizes, Tp, bm, E, tiles_m)
     rows_w = K // 8
     if n_chunks is None:
-        # keep chunks ~96-128 KiB and row-divisible
         n_chunks = 1
-        while n_chunks < 8 and rows_w % (2 * n_chunks) == 0 and (
-            rows_w // (2 * n_chunks)
-        ) * N * 4 >= 64 * 1024:
-            n_chunks *= 2
     assert rows_w % n_chunks == 0
-    # One descriptor for scales+biases: rows [0, G) scales, [G, 2G) biases.
-    sb = jnp.concatenate([scales, biases], axis=1)
     num_logical = jnp.maximum(
         jnp.sum(
             jnp.where(
@@ -556,20 +580,23 @@ def _gqmm_gather_pallas(
             pl.BlockSpec((Tp, K), lambda g0, *s: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((Tp, N), lambda g0, *s: (0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((depth, K // 8, N), jnp.uint32),
-            pltpu.VMEM((depth, 2 * G, N), sb.dtype),
+            pltpu.VMEM((depth, rows_w, N), jnp.uint32),
+            pltpu.VMEM((depth, G, N), scales.dtype),
+            pltpu.VMEM((depth, G, N), biases.dtype),
             pltpu.VMEM((Tp, N), jnp.float32),
             pltpu.VMEM((K if matdeq else 8, N), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((depth, n_chunks)),
             pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
         ],
     )
     kernel = functools.partial(
-        _gqmm_gather_kernel, group_size=group_size, bm=bm, matdeq=matdeq,
-        probe=probe,
+        _gqmm_gather_kernel, group_size=group_size, bm=bm, rows_w=rows_w,
+        matdeq=matdeq, probe=probe,
     )
     out = pl.pallas_call(
         kernel,
@@ -585,7 +612,7 @@ def _gqmm_gather_pallas(
         ),
         interpret=interpret,
     )(gids, mtids, flags, goffs, num_logical.reshape(1),
-      x_pad, packed, sb)
+      x_pad, packed, scales, biases)
     return out[:T]
 
 
