@@ -13,9 +13,13 @@ and reports us/call, effective GB/s over the weights actually touched,
 and the fraction of the single-chip HBM roofline.  Writes a JSON line
 per config plus a summary file under benchmark_results/.
 
-Chained-dependency methodology (same as bench_moe_gqmm.py): ITERS calls
-inside one jit, each iteration's input perturbed by the previous output,
-one dispatch + one fetch.
+TWO-POINT SLOPE methodology: the chained fori_loop harness carries a
+~480 us per-iteration floor on this relay (measured with a pure-XLA
+control body and an empty Pallas copy kernel — both ~480 us; see
+PERFORMANCE.md "MoE" section). A single-call-per-iteration total
+therefore swamps sub-100-us kernels. Each config is timed with 1 and 3
+calls per loop body; per-call cost = (t3 - t1) / 2, which cancels the
+floor exactly — the same discipline as the quant_matmul per-op ledger.
 
 Usage: python benches/bench_moe_gather_ab.py [out.json] [config_idx ...]
 (each config costs ~2 min of remote kernel compile; default runs 0 1)
@@ -78,21 +82,32 @@ def kernel_call(fn, qt):
 
 
 def timed(call, x, sizes):
-    @jax.jit
-    def run(x0):
-        def body(i, x):
-            y = call(x, sizes)
-            return x + (jnp.sum(y[:1, :1]) * 1e-6).astype(x.dtype)
+    """Per-call cost by two-point slope: (t[3 calls] - t[1 call]) / 2."""
 
-        return jax.lax.fori_loop(0, ITERS, body, x0)
+    def make_run(ncalls):
+        @jax.jit
+        def run(x0):
+            def body(i, xx):
+                for _ in range(ncalls):
+                    y = call(xx, sizes)
+                    xx = xx + (jnp.sum(y[:1, :1]) * 1e-6).astype(xx.dtype)
+                return xx
 
-    jax.block_until_ready(run(x))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+            return jax.lax.fori_loop(0, ITERS, body, x0)
+
+        return run
+
+    t = {}
+    for n in (1, 3):
+        run = make_run(n)
         jax.block_until_ready(run(x))
-        best = min(best, (time.perf_counter() - t0) / ITERS)
-    return best
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(x))
+            best = min(best, (time.perf_counter() - t0) / ITERS)
+        t[n] = best
+    return max((t[3] - t[1]) / 2, 1e-9)
 
 
 CONFIGS = [
@@ -105,6 +120,9 @@ CONFIGS = [
 
 
 def main():
+    from tiny_llm_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
     picks = [int(a) for a in sys.argv[2:]] or [0, 1]
     dev = jax.devices()[0]
