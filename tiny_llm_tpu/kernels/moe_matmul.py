@@ -627,7 +627,16 @@ def grouped_quantized_matmul(
     group_sizes: jax.Array,  # [E] int32, sums to T
     interpret: bool = False,
 ) -> jax.Array:
-    """out[t] = grouped_x[t] @ dequant(qt[expert_of_row_t]).T, fused."""
+    """out[t] = grouped_x[t] @ dequant(qt[expert_of_row_t]).T, fused.
+
+    Decode dispatch (T <= GATHER_MAX_T) is per-shape, from the round-3
+    slope A/B (benchmark_results/v5e-moe-gather-ab-2026-08-21.json):
+    the expert-gather schedule wins fat-K projections (gate/up N=768
+    K=2048: 76 vs 120 us, 1.58x) while the BlockSpec walk wins fat-N
+    skinny-K ones (down N=2048 K=768: 43 vs 99 us, 2.3x — the gather's
+    monolithic block DMA pays the K->k_padded 33% padding that the
+    walk's logical tiles never touch). Rule: gather iff K >= N.
+    """
     assert qt.packed.ndim == 3, "expects stacked expert weights"
     assert grouped_x.shape[-1] == qt.in_features
     assert qt.k_padded <= MAX_RESIDENT_K
@@ -636,7 +645,8 @@ def grouped_quantized_matmul(
     if qt.k_padded != K:
         x2 = jnp.pad(x2, ((0, 0), (0, qt.k_padded - K)))
     if qt.layout == "magic_t":
-        fn = _gqmm_gather_pallas if T <= GATHER_MAX_T else _gqmm_magic_pallas
+        use_gather = T <= GATHER_MAX_T and K >= qt.out_features
+        fn = _gqmm_gather_pallas if use_gather else _gqmm_magic_pallas
         out = fn(
             x2,
             qt.packed,
