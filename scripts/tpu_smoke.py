@@ -71,7 +71,8 @@ def smoke_paged_decode():
     from tiny_llm_tpu.kernels.paged_attention_pallas import paged_flash_decode
 
     q, kp, vp, table, lens = _paged_setup()
-    got = paged_flash_decode(q, kp, vp, table, lens)
+    got = paged_flash_decode(q, kp, vp, table, lens,
+                             scale=q.shape[-1] ** -0.5)
     want = paged_attention(q, kp, vp, table, lens, impl="xla")
     _close(got, want)
 
@@ -82,8 +83,11 @@ def smoke_paged_decode_gather():
         paged_flash_decode_gather,
     )
 
-    q, kp, vp, table, lens = _paged_setup(seed=3)
-    got = paged_flash_decode_gather(q, kp, vp, table, lens)
+    # The gather schedule's manual page DMAs need lane-aligned head
+    # dim (D=128, the production head size); D=64 fails Mosaic tiling.
+    q, kp, vp, table, lens = _paged_setup(seed=3, D=128)
+    got = paged_flash_decode_gather(q, kp, vp, table, lens,
+                                    scale=q.shape[-1] ** -0.5)
     want = paged_attention(q, kp, vp, table, lens, impl="xla")
     _close(got, want)
 
@@ -93,7 +97,12 @@ def smoke_paged_prefill():
     from tiny_llm_tpu.kernels.paged_attention_pallas import paged_flash_prefill
 
     q, kp, vp, table, lens = _paged_setup(L=32, seed=4)
-    got = paged_flash_prefill(q, kp, vp, table, lens, mask="causal")
+    # Every row must have at least L context (queries are the LAST L
+    # tokens); the default second-row length (23) would put queries
+    # before position 0.
+    lens = jnp.asarray([43, 37], jnp.int32)
+    got = paged_flash_prefill(q, kp, vp, table, lens,
+                              scale=q.shape[-1] ** -0.5)
     want = paged_attention(q, kp, vp, table, lens, mask="causal", impl="xla")
     _close(got, want)
 

@@ -703,13 +703,21 @@ def paged_attention_pallas(
         # Multi-page gather tiles: ~4 MiB of pages per super-tile (G=16
         # at the Qwen3 pool shape) measured 769 GB/s at 32K vs 138 for
         # the one-page-per-grid-step kernel (benchmark_results/
-        # v5e-paged-decode-gather-2026-08-20.json).
+        # v5e-paged-decode-gather-2026-08-20.json). The manual page DMAs
+        # need a lane-aligned head dim (Mosaic memref slicing: D must be
+        # a multiple of 128 — caught by scripts/tpu_smoke.py at D=64);
+        # odd head sizes stay on the BlockSpec-walk decode kernel.
         _, Hkv, ps, _ = key_pages.shape
-        page_bytes = Hkv * ps * D * key_pages.dtype.itemsize
-        g = max(1, min((4 << 20) // page_bytes, block_table.shape[1]))
-        return paged_flash_decode_gather(
+        if D % 128 == 0:
+            page_bytes = Hkv * ps * D * key_pages.dtype.itemsize
+            g = max(1, min((4 << 20) // page_bytes, block_table.shape[1]))
+            return paged_flash_decode_gather(
+                q, key_pages, value_pages, block_table, context_lens,
+                scale=float(scale), pages_per_tile=g, interpret=interpret,
+            )
+        return paged_flash_decode(
             q, key_pages, value_pages, block_table, context_lens,
-            scale=float(scale), pages_per_tile=g, interpret=interpret,
+            scale=float(scale), interpret=interpret,
         )
     return paged_flash_prefill(
         q, key_pages, value_pages, block_table, context_lens,
