@@ -22,6 +22,7 @@ reason the pool keeps the reference's H-major layout).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -30,6 +31,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .flash_attention_pallas import NEG_INF, _flash_inner
+
+# Trace-time marker: true while tracing a lax.scan decode-burst body
+# (models/qwen3.py forward_decode_burst_paged). See the dispatch note in
+# paged_attention_pallas() for why scan bodies avoid the gather kernel.
+_IN_SCAN = [False]
+
+
+@contextlib.contextmanager
+def scan_scope():
+    """Mark pallas paged-decode dispatch as inside a scan body."""
+    prev = _IN_SCAN[0]
+    _IN_SCAN[0] = True
+    try:
+        yield
+    finally:
+        _IN_SCAN[0] = prev
 
 
 def _paged_decode_kernel(
@@ -708,7 +725,23 @@ def paged_attention_pallas(
         # a multiple of 128 — caught by scripts/tpu_smoke.py at D=64);
         # odd head sizes stay on the BlockSpec-walk decode kernel.
         _, Hkv, ps, _ = key_pages.shape
-        if D % 128 == 0:
+        # Schedule choice, most-specific wins:
+        #   TLT_PAGED_DECODE=walk|gather — operator override.
+        #   inside a lax.scan burst (scan_scope) — default to the walk:
+        #     on the 2026-08-21 axon build the manual-DMA gather kernel
+        #     faults the TPU worker ONLY when scan-wrapped (standalone
+        #     dispatch and the whole smoke gate pass; round-2 code
+        #     crashes identically, so it is a toolchain change, not a
+        #     kernel regression). Serving bursts run short contexts
+        #     where the walk is within noise of the gather anyway; the
+        #     gather's 769 GB/s win is the long-context single-step path.
+        import os
+
+        forced = os.environ.get("TLT_PAGED_DECODE")
+        use_gather = D % 128 == 0 and forced != "walk"
+        if _IN_SCAN[0] and forced != "gather":
+            use_gather = False
+        if use_gather:
             page_bytes = Hkv * ps * D * key_pages.dtype.itemsize
             g = max(1, min((4 << 20) // page_bytes, block_table.shape[1]))
             return paged_flash_decode_gather(

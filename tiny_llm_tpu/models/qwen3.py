@@ -584,9 +584,15 @@ def forward_decode_burst_paged(
         return (nxt, offsets + 1, kp, vp), nxt
 
     xs = None if sample is None else jax.random.split(rng0, steps)
-    (_, _, kp, vp), toks = jax.lax.scan(
-        body, (tokens0, offsets0, key_pages, value_pages), xs=xs, length=steps
-    )
+    # scan_scope: paged-decode dispatch avoids the manual-DMA gather
+    # kernel inside scan bodies (kernels/paged_attention_pallas.py — a
+    # 2026-08-21 relay build faults the TPU worker on that combination).
+    from ..kernels.paged_attention_pallas import scan_scope
+
+    with scan_scope():
+        (_, _, kp, vp), toks = jax.lax.scan(
+            body, (tokens0, offsets0, key_pages, value_pages), xs=xs, length=steps
+        )
     return toks, kp, vp
 
 
