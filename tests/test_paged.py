@@ -274,3 +274,41 @@ class TestStripedPool:
         assert sorted(p // 4 for p in c.page_ids) == [0, 1, 2, 3]
         c.release()
         assert pool.free_pages == 15
+
+
+def test_scan_scope_prefers_walk_kernel(monkeypatch):
+    """Inside a decode-burst scan trace the dispatcher must avoid the
+    manual-DMA gather kernel (2026-08-21 relay fault — see
+    kernels/paged_attention_pallas.py dispatch note); outside it, and
+    under TLT_PAGED_DECODE=gather, the gather remains the default for
+    lane-aligned head dims."""
+    import numpy as np
+
+    from tiny_llm_tpu.kernels import paged_attention_pallas as pap
+
+    calls = []
+    monkeypatch.setattr(
+        pap, "paged_flash_decode_gather",
+        lambda *a, **k: calls.append("gather") or jnp.zeros((1, 4, 1, 128)),
+    )
+    monkeypatch.setattr(
+        pap, "paged_flash_decode",
+        lambda *a, **k: calls.append("walk") or jnp.zeros((1, 4, 1, 128)),
+    )
+    q = jnp.zeros((1, 4, 1, 128), jnp.bfloat16)
+    kp = jnp.zeros((4, 2, 8, 128), jnp.bfloat16)
+    table = jnp.asarray([[1, 2]], jnp.int32)
+    lens = jnp.asarray([5], jnp.int32)
+
+    pap.paged_attention_pallas(q, kp, kp, table, lens)
+    assert calls[-1] == "gather"
+    with pap.scan_scope():
+        pap.paged_attention_pallas(q, kp, kp, table, lens)
+        assert calls[-1] == "walk"
+        monkeypatch.setenv("TLT_PAGED_DECODE", "gather")
+        pap.paged_attention_pallas(q, kp, kp, table, lens)
+        assert calls[-1] == "gather"
+        monkeypatch.delenv("TLT_PAGED_DECODE")
+    monkeypatch.setenv("TLT_PAGED_DECODE", "walk")
+    pap.paged_attention_pallas(q, kp, kp, table, lens)
+    assert calls[-1] == "walk"
