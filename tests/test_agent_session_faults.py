@@ -219,6 +219,29 @@ class TestAppendFailureInjection:
         ev = loaded.append("user_message", {"text": "after crash"})
         assert ev.id == 2
 
+    def test_same_handle_survives_partial_write(self, tmp_path, monkeypatch):
+        """The SAME handle must keep appending after a partial write —
+        only the append-time rollback (truncate to the validated head)
+        makes that possible; without it the leaked half-record makes
+        every later append see a foreign head (SessionConflict)."""
+        path, log = make_log(tmp_path, n_events=2)
+        real_write = os.write
+
+        def partial_write(fd, data):
+            if b"doomed" in data:
+                real_write(fd, data[: len(data) // 2])
+                raise OSError(5, "I/O error after partial write")
+            return real_write(fd, data)
+
+        monkeypatch.setattr(os, "write", partial_write)
+        with pytest.raises(OSError):
+            log.append("user_message", {"text": "doomed"})
+        monkeypatch.undo()
+        ev = log.append("user_message", {"text": "healthy"})
+        assert ev.id == 2
+        loaded = SessionLog.load(path)
+        assert [e.data.get("text") for e in loaded.events][-1] == "healthy"
+
 
 class TestToolResultInvariants:
     def test_tool_result_must_close_open_call(self, tmp_path):
