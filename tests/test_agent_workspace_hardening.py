@@ -5,9 +5,15 @@ TOCTOU windows, and mode/identity preservation.
 Models the reference's week-4 day-6 adversarial style
 (tests_refsol/test_week_4_day_6.py): monkeypatched os failures
 mid-atomic-write, symlink/hardlink swaps, interference between
-validation and execution.  Every test here fails when the corresponding
-hardening in tiny_llm_tpu/agent/workspace.py is reverted to the naive
-check-then-use implementation.
+validation and execution.  Every behavior here fails when the hardening
+in tiny_llm_tpu/agent/workspace.py is reverted to the naive
+check-then-use implementation.  The defenses deliberately overlap
+(defense in depth): e.g. a live-symlink swap is caught by BOTH the
+O_NOFOLLOW open flag and the post-read name-re-stat, so reverting one
+layer can leave the scenario tests green.  Where a single layer has a
+uniquely observable behavior, a dedicated isolation test pins it
+(test_nofollow_flag_rejects_dangling_symlink_at_open for O_NOFOLLOW —
+mutation-verified: zeroing _NOFOLLOW fails exactly that test).
 """
 
 import os
@@ -96,6 +102,25 @@ class TestFdAnchoredTraversal:
         os.symlink("/etc/hostname", tmp_path / "lnk")
         with pytest.raises(WorkspaceError):
             ws.read_file("lnk")
+
+    def test_nofollow_flag_rejects_dangling_symlink_at_open(self, ws, tmp_path):
+        """Isolates the O_NOFOLLOW open-flag layer itself (round-3 verdict
+        weak #6: the symlink tests above are also caught by the post-read
+        name-re-stat, so zeroing _NOFOLLOW left them green).  A DANGLING
+        symlink as the final component is rejected only by O_NOFOLLOW:
+        the open fails ELOOP -> WorkspaceError.  With _NOFOLLOW zeroed
+        the open resolves the link, gets ENOENT, and _read_regular_at
+        returns None ("no such file") — the fstat / name-re-stat layers
+        never run on a failed open, so no other defense masks this one.
+        Calls the fd-anchored helpers directly: this models a swap landed
+        after resolve_path screening (which a racing attacker controls)."""
+        os.symlink(tmp_path / "never-exists", tmp_path / "dangle")
+        parent, name = ws._open_parent_fd(("dangle",))
+        try:
+            with pytest.raises(WorkspaceError, match="safe regular file"):
+                ws._read_regular_at(parent, name, tool="read_file")
+        finally:
+            os.close(parent)
 
     def test_root_identity_change_refuses_all_paths(self, tmp_path):
         root = tmp_path / "root"
