@@ -84,6 +84,7 @@ def serving_bench(args) -> None:
     dt = metrics.wall_s
     out_tokens = metrics.output_tokens  # exact (decoded text round-trips lossily)
     in_tokens = int(lens.sum())
+    mdict = metrics.as_dict()
     print(
         json.dumps(
             {
@@ -97,7 +98,17 @@ def serving_bench(args) -> None:
                 "batch_size": args.batch_size,
                 "peak_kv_mib": round(metrics.peak_kv_bytes / 2**20, 1),
                 "peak_live_pages": metrics.peak_live_pages,
-                "mean_batch_occupancy": metrics.as_dict().get("mean_batch_occupancy"),
+                "mean_batch_occupancy": mdict.get("mean_batch_occupancy"),
+                # Latency percentiles (BASELINE.json metric line: p50 TTFT).
+                # ttft: arrival -> first token (arrival = campaign start for
+                # this offline batch, so queueing is included); admission_ttft:
+                # prefill start -> first token (pure chunked-prefill latency).
+                "ttft_p50_ms": mdict.get("ttft_p50_ms"),
+                "ttft_p95_ms": mdict.get("ttft_p95_ms"),
+                "admission_ttft_p50_ms": mdict.get("admission_ttft_p50_ms"),
+                "admission_ttft_p95_ms": mdict.get("admission_ttft_p95_ms"),
+                "request_latency_p50_ms": mdict.get("request_latency_p50_ms"),
+                "request_latency_p95_ms": mdict.get("request_latency_p95_ms"),
                 "backend": jax.default_backend(),
             }
         )

@@ -79,6 +79,21 @@ def test_dense_path_continuous_batching(model):
     assert metrics.output_tokens == sum(len(tok.encode(s)) for s in singles)
     assert metrics.prefill_tokens == sum(len(tok.encode(p)) for p in prompts)
     assert metrics.peak_active_requests <= 2
+    # Latency ledger: every request that emitted a token has a TTFT
+    # sample; TTFT <= end-to-end latency; arrival-based TTFT includes
+    # queueing so it dominates the admission-based one.
+    assert len(metrics.ttft_ms) == 3
+    assert len(metrics.admission_ttft_ms) == 3
+    assert len(metrics.request_latency_ms) == 3
+    for ttft, adm, lat in zip(
+        sorted(metrics.ttft_ms),
+        sorted(metrics.admission_ttft_ms),
+        sorted(metrics.request_latency_ms),
+    ):
+        assert 0 <= adm <= ttft <= lat
+    d = metrics.as_dict()
+    assert d["ttft_p50_ms"] <= d["ttft_p95_ms"] <= d["ttft_max_ms"]
+    assert d["request_latency_p50_ms"] <= d["request_latency_p95_ms"]
 
 
 def test_scheduler_eviction_at_max_seq(model):

@@ -45,10 +45,20 @@ class Request:
         prompt_idx: int = 0,
         sampler: Callable | None = None,
         rng: jax.Array | None = None,
+        arrival_t: float | None = None,
     ):
         self.sampler = sampler
         self.rng = rng
         self.prompt = prompt
+        # Latency stamps (monotonic seconds). arrival_t is when the
+        # request entered the system (the campaign start for an offline
+        # batch, where every request arrives at t=0); admitted_t is when
+        # the scheduler began prefilling it. ServingMetrics.observe_request
+        # turns these into TTFT / latency percentiles.
+        self.admitted_t = time.monotonic()
+        self.arrival_t = self.admitted_t if arrival_t is None else arrival_t
+        self.first_token_t: float | None = None
+        self.completed_t: float | None = None
         self.model = model
         self.kv_cache = model.create_kv_cache()
         self.prefill_tokens = list(tokenizer.encode(prompt))
@@ -107,7 +117,12 @@ class Request:
             raise ValueError("decode called after done")
         if token in self.eos_ids:
             self.is_done = True
+            self.completed_t = time.monotonic()
             return
+        if self.first_token_t is None:
+            # First output token: produced by the prefill dispatch itself
+            # (update_offset=False path), so TTFT = queueing + prefill.
+            self.first_token_t = time.monotonic()
         self.output_ids.append(token)
         self.next_token = token
         if update_offset:
@@ -176,6 +191,7 @@ def batch_generate(
                         if sampler is not None
                         else None
                     ),
+                    arrival_t=start,  # offline batch: all requests at t=0
                 )
                 next_idx += 1
             if pending is None:
@@ -186,6 +202,8 @@ def batch_generate(
                 if pending.is_done:
                     # EOS directly after prefill; never occupies a slot.
                     result.append((pending.prompt_idx, pending.text()))
+                    if metrics is not None:
+                        metrics.observe_request(pending)
                     pending.kv_cache.release()
                     pending = None
                     continue
@@ -271,10 +289,10 @@ def batch_generate(
                 if reason is not None:
                     kv_cache.remove_request(i)
                     result.append((req.prompt_idx, req.text()))
+                    if req.completed_t is None:  # max-len/max-output evictions
+                        req.completed_t = time.monotonic()
                     if metrics is not None:
-                        metrics.requests_completed += 1
-                        metrics.prefill_tokens += len(req.prefill_tokens)
-                        metrics.output_tokens += len(req.output_ids)
+                        metrics.observe_request(req)
                     decode_requests[i] = None
         if progress_callback is not None:
             progress_callback(decode_requests, pending, len(prompts), start)
