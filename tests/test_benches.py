@@ -26,6 +26,9 @@ BENCH_MODULES = [
     "profile_operators",
     "probe_qmm_stages",
     "capture_profile",
+    "bench_scaling",
+    "probe_scan_gather_fault",
+    "probe_model_burst",
 ]
 
 
@@ -79,6 +82,32 @@ def test_operator_bench_cases_build_and_time():
         fn, x = impls["xla"]
         out = fn(x)
         assert bool(jnp.all(jnp.isfinite(jnp.asarray(out, jnp.float32))))
+
+
+def test_scaling_bench_runs_on_cpu_mesh():
+    """The scaling-efficiency harness must run end-to-end on the
+    virtual CPU mesh (the plumbing-validation mode): rows for every
+    layout, per-chip efficiency relative to the single row, and the
+    not-a-perf-number label."""
+    mod = load("bench_scaling")
+    result = mod.main([
+        "--devices", "1,2", "--layouts", "single,dp,tp",
+        "--requests", "2", "--batch-size", "2", "--max-seq", "64",
+        "--max-output", "4", "--min-prompt", "8", "--max-prompt", "24",
+        "--decode-burst", "4",
+    ])
+    assert result["backend"] == "cpu-mesh"
+    assert result["is_perf_number"] is False
+    layouts = {(r["layout"], r["n_devices"]) for r in result["rows"]}
+    assert layouts == {("single", 1), ("dp", 2), ("tp", 2)}
+    for row in result["rows"]:
+        assert row["output_tok_s"] > 0
+        assert row["efficiency_vs_single_chip"] > 0
+        if row["layout"] == "dp":
+            assert row["requests"] == 4  # weak scaling: 2 x dp
+        assert row["tok_s_per_chip"] == pytest.approx(
+            row["output_tok_s"] / row["n_devices"], rel=1e-6, abs=0.01
+        )
 
 
 def test_speculative_bench_baseline_runs_tiny():
