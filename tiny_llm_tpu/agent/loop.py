@@ -167,6 +167,13 @@ def run_agent(
                         "user_message",
                         {"text": "new steering arrived; continue working"},
                     )
+                    # A superseded final is a response to input the model
+                    # had not seen; its next reply answers the NEW
+                    # steering, so an identical final there is not a loop
+                    # (reference: steering supersedes a concurrent final
+                    # without tripping recovery-loop detection).
+                    identical_count = 0
+                    last_signature = None
                     continue
 
                 def _accept():

@@ -16,6 +16,7 @@ import fcntl
 import json
 import os
 import secrets
+import threading
 import time
 from typing import Any, Iterable
 
@@ -67,6 +68,15 @@ class SessionLog:
         self.path = path
         self.events: list[SessionEvent] = list(events or [])
         self._expected_size = 0
+        # In-process appends must serialize: SteeringHandle.submit is
+        # documented to run from OTHER threads while the agent loop
+        # appends, and the event id/parent chain is computed from
+        # events[-1] before the write lands. The flock below only guards
+        # cross-process writers; without this mutex two in-process
+        # threads can mint the same id and corrupt the chain on disk
+        # (caught by test_agent_interleavings.py
+        # test_concurrent_steering_during_live_apply).
+        self._append_lock = threading.Lock()
         if path is not None:
             if not os.path.exists(path):
                 with open(path, "x"):
@@ -115,6 +125,12 @@ class SessionLog:
 
     # -- core append ---------------------------------------------------------
     def append(self, type: str, data: dict[str, Any] | None = None) -> SessionEvent:
+        with self._append_lock:
+            return self._append_locked(type, data)
+
+    def _append_locked(
+        self, type: str, data: dict[str, Any] | None = None
+    ) -> SessionEvent:
         data = dict(data or {})
         self._validate_append(type, data)
         ev = SessionEvent(
@@ -347,6 +363,7 @@ class SessionLog:
         log.path = path
         log.events = events
         log._expected_size = good_offset
+        log._append_lock = threading.Lock()
         return log
 
 
