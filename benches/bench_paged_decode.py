@@ -44,6 +44,11 @@ def measure_paged(kernel_name: str, S: int, ps: int, G: int, NB: int = 2,
             return pap.paged_flash_decode_gather(
                 qq, kp, vp, bt, lens, scale=scale, pages_per_tile=G,
                 num_buffers=NB)
+    elif kernel_name == "pages":
+        # Whole-page BlockSpec walk — the scan-safe fast schedule.
+        def call(qq):
+            return pap.paged_flash_decode_pages(
+                qq, kp, vp, bt, lens, scale=scale)
     else:
         def call(qq):
             return pap.paged_flash_decode(qq, kp, vp, bt, lens, scale=scale)
@@ -71,6 +76,7 @@ def main() -> None:
     p.add_argument("--gs", type=int, nargs="*", default=[4, 8, 16])
     p.add_argument("--bufs", type=int, nargs="*", default=[2])
     p.add_argument("--skip-old", action="store_true")
+    p.add_argument("--skip-pages", action="store_true")
     args = p.parse_args()
 
     Hkv, D = 8, 128
@@ -81,6 +87,12 @@ def main() -> None:
             if not args.skip_old:
                 us = measure_paged("blockspec", S, ps, 0)
                 rows.append({"context": S, "page_size": ps, "kernel": "blockspec",
+                             "us_per_op": round(us, 1),
+                             "gb_s": round(kv_bytes / us / 1e3)})
+                print(json.dumps(rows[-1]), flush=True)
+            if not args.skip_pages:
+                us = measure_paged("pages", S, ps, 0)
+                rows.append({"context": S, "page_size": ps, "kernel": "pages",
                              "us_per_op": round(us, 1),
                              "gb_s": round(kv_bytes / us / 1e3)})
                 print(json.dumps(rows[-1]), flush=True)

@@ -92,6 +92,20 @@ def smoke_paged_decode_gather():
     _close(got, want)
 
 
+def smoke_paged_decode_pages():
+    from tiny_llm_tpu.kernels.paged_attention import paged_attention
+    from tiny_llm_tpu.kernels.paged_attention_pallas import (
+        paged_flash_decode_pages,
+    )
+
+    # Whole-page blocks [1, Hkv, ps, D]: the scan-safe fast schedule.
+    q, kp, vp, table, lens = _paged_setup(seed=5, D=128)
+    got = paged_flash_decode_pages(q, kp, vp, table, lens,
+                                   scale=q.shape[-1] ** -0.5)
+    want = paged_attention(q, kp, vp, table, lens, impl="xla")
+    _close(got, want)
+
+
 def smoke_paged_prefill():
     from tiny_llm_tpu.kernels.paged_attention import paged_attention
     from tiny_llm_tpu.kernels.paged_attention_pallas import paged_flash_prefill
@@ -190,6 +204,7 @@ SMOKES = [
     ("flash_decode", smoke_flash_decode),
     ("paged_decode", smoke_paged_decode),
     ("paged_decode_gather", smoke_paged_decode_gather),
+    ("paged_decode_pages", smoke_paged_decode_pages),
     ("paged_prefill", smoke_paged_prefill),
     ("quant_matmul", smoke_quant_matmul),
     ("moe_gqmm", smoke_moe_gather_and_walk),

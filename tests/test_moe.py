@@ -275,3 +275,44 @@ def test_grouped_matmul_impl_dispatch_pallas():
     assert calls, "pallas impl did not dispatch to the fused kernel"
     ref = np.asarray(grouped_matmul(x, stacked, gs, use_ragged=False), np.float32)
     np.testing.assert_allclose(got, ref, rtol=5e-2, atol=8e-2)
+
+
+def test_grouped_matmul_scan_scope_prefers_walk(monkeypatch):
+    """MoE decode dispatch mirrors the paged-decode scan guard: the
+    manual-DMA expert-gather kernel is avoided inside lax.scan bursts
+    (same relay fault class — see the dispatch note), with
+    TLT_MOE_DECODE=gather|walk as the override pair."""
+    from tiny_llm_tpu.kernels import moe_matmul
+    from tiny_llm_tpu.kernels.paged_attention_pallas import scan_scope
+
+    from tiny_llm_tpu.ops.quantize import quantize_stacked
+
+    sizes = [2, 1]
+    E, N, K = len(sizes), 64, 128  # K >= N: gather territory
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.normal(size=(E, N, K)).astype(np.float32) * 0.1)
+    stacked = quantize_stacked(w, layout="magic_t")
+    x = jnp.asarray(np.ones((3, K)), jnp.bfloat16)
+    gs = jnp.asarray(sizes, jnp.int32)
+
+    calls = []
+    monkeypatch.setattr(
+        moe_matmul, "_gqmm_gather_pallas",
+        lambda *a, **k: calls.append("gather") or jnp.zeros((3, N)),
+    )
+    monkeypatch.setattr(
+        moe_matmul, "_gqmm_magic_pallas",
+        lambda *a, **k: calls.append("walk") or jnp.zeros((3, N)),
+    )
+    moe_matmul.grouped_quantized_matmul(x, stacked, gs)
+    assert calls[-1] == "gather"  # single dispatch keeps the fast path
+    with scan_scope():
+        moe_matmul.grouped_quantized_matmul(x, stacked, gs)
+        assert calls[-1] == "walk"  # scan burst: fault-safe schedule
+        monkeypatch.setenv("TLT_MOE_DECODE", "gather")
+        moe_matmul.grouped_quantized_matmul(x, stacked, gs)
+        assert calls[-1] == "gather"  # re-test hatch
+        monkeypatch.delenv("TLT_MOE_DECODE")
+    monkeypatch.setenv("TLT_MOE_DECODE", "walk")
+    moe_matmul.grouped_quantized_matmul(x, stacked, gs)
+    assert calls[-1] == "walk"  # global downgrade works outside scan

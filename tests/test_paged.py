@@ -276,12 +276,13 @@ class TestStripedPool:
         assert pool.free_pages == 15
 
 
-def test_scan_scope_prefers_walk_kernel(monkeypatch):
-    """Inside a decode-burst scan trace the dispatcher must avoid the
-    manual-DMA gather kernel (2026-08-21 relay fault — see
-    kernels/paged_attention_pallas.py dispatch note); outside it, and
-    under TLT_PAGED_DECODE=gather, the gather remains the default for
-    lane-aligned head dims."""
+def test_scan_scope_dispatch_schedule_selection(monkeypatch):
+    """Paged-decode schedule selection: gather for single-step
+    dispatches, the whole-page BlockSpec walk (pages) inside scan
+    bursts (the gather probabilistically faults the relay's TPU worker
+    under scan — see the dispatch note), the per-(page, head) walk for
+    odd head dims, TLT_PAGED_DECODE_SCAN overriding scan scope only,
+    and TLT_PAGED_DECODE overriding everywhere."""
     import numpy as np
 
     from tiny_llm_tpu.kernels import paged_attention_pallas as pap
@@ -290,6 +291,10 @@ def test_scan_scope_prefers_walk_kernel(monkeypatch):
     monkeypatch.setattr(
         pap, "paged_flash_decode_gather",
         lambda *a, **k: calls.append("gather") or jnp.zeros((1, 4, 1, 128)),
+    )
+    monkeypatch.setattr(
+        pap, "paged_flash_decode_pages",
+        lambda *a, **k: calls.append("pages") or jnp.zeros((1, 4, 1, 128)),
     )
     monkeypatch.setattr(
         pap, "paged_flash_decode",
@@ -301,14 +306,59 @@ def test_scan_scope_prefers_walk_kernel(monkeypatch):
     lens = jnp.asarray([5], jnp.int32)
 
     pap.paged_attention_pallas(q, kp, kp, table, lens)
-    assert calls[-1] == "gather"
+    assert calls[-1] == "gather"  # single-step: the 769 GB/s path
     with pap.scan_scope():
         pap.paged_attention_pallas(q, kp, kp, table, lens)
-        assert calls[-1] == "walk"
-        monkeypatch.setenv("TLT_PAGED_DECODE", "gather")
+        assert calls[-1] == "pages"  # scan-safe fast schedule
+        monkeypatch.setenv("TLT_PAGED_DECODE_SCAN", "gather")
         pap.paged_attention_pallas(q, kp, kp, table, lens)
-        assert calls[-1] == "gather"
+        assert calls[-1] == "gather"  # re-test hatch after relay updates
+        monkeypatch.setenv("TLT_PAGED_DECODE_SCAN", "walk")
+        pap.paged_attention_pallas(q, kp, kp, table, lens)
+        assert calls[-1] == "walk"
+        monkeypatch.delenv("TLT_PAGED_DECODE_SCAN")
+        monkeypatch.setenv("TLT_PAGED_DECODE", "walk")
+        pap.paged_attention_pallas(q, kp, kp, table, lens)
+        assert calls[-1] == "walk"  # global override reaches scan scope
         monkeypatch.delenv("TLT_PAGED_DECODE")
-    monkeypatch.setenv("TLT_PAGED_DECODE", "walk")
+    monkeypatch.setenv("TLT_PAGED_DECODE_SCAN", "walk")
     pap.paged_attention_pallas(q, kp, kp, table, lens)
+    assert calls[-1] == "gather"  # scan hatch is inert outside scan scope
+    monkeypatch.delenv("TLT_PAGED_DECODE_SCAN")
+    monkeypatch.setenv("TLT_PAGED_DECODE", "pages")
+    pap.paged_attention_pallas(q, kp, kp, table, lens)
+    assert calls[-1] == "pages"
+    monkeypatch.delenv("TLT_PAGED_DECODE")
+    # Odd head dim: only the per-(page, head) walk handles D % 128 != 0.
+    q64 = jnp.zeros((1, 4, 1, 64), jnp.bfloat16)
+    kp64 = jnp.zeros((4, 2, 8, 64), jnp.bfloat16)
+    pap.paged_attention_pallas(q64, kp64, kp64, table, lens)
     assert calls[-1] == "walk"
+
+
+def test_paged_decode_pages_kernel_matches_oracle():
+    """Interpret-mode correctness of the whole-page decode kernel vs
+    the XLA paged-attention oracle: ragged lens, dead (-1) table slots,
+    GQA grouping."""
+    import numpy as np
+
+    from tiny_llm_tpu.kernels.paged_attention import paged_attention
+    from tiny_llm_tpu.kernels.paged_attention_pallas import (
+        paged_flash_decode_pages,
+    )
+
+    rng = np.random.default_rng(11)
+    P, Hkv, ps, D, B, Hq = 8, 2, 8, 128, 2, 4
+    kp = jnp.asarray(rng.normal(size=(P, Hkv, ps, D)), jnp.bfloat16)
+    vp = jnp.asarray(rng.normal(size=(P, Hkv, ps, D)), jnp.bfloat16)
+    q = jnp.asarray(rng.normal(size=(B, Hq, 1, D)), jnp.bfloat16)
+    table = jnp.asarray([[3, 1, 6, -1], [5, 2, -1, -1]], jnp.int32)
+    lens = jnp.asarray([3 * ps - 3, ps + 5], jnp.int32)
+    got = paged_flash_decode_pages(
+        q, kp, vp, table, lens, scale=D**-0.5, interpret=True
+    )
+    want = paged_attention(q, kp, vp, table, lens, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.02, rtol=0.02,
+    )

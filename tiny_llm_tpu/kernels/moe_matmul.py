@@ -646,6 +646,22 @@ def grouped_quantized_matmul(
         x2 = jnp.pad(x2, ((0, 0), (0, qt.k_padded - K)))
     if qt.layout == "magic_t":
         use_gather = T <= GATHER_MAX_T and K >= qt.out_features
+        if use_gather:
+            # Scan-scope guard: the expert-gather schedule is a manual-DMA
+            # kernel like the paged-decode gather, which probabilistically
+            # faults the relay's TPU worker inside lax.scan decode bursts
+            # under sustained load (PERFORMANCE.md round-4 incident note).
+            # Decode bursts take the BlockSpec walk (1.34x slower at the
+            # 30B-A3B layer step, benchmark_results/v5e-moe-layer-e2e) —
+            # override with TLT_MOE_DECODE=gather to re-test after relay
+            # updates; single-dispatch decode keeps the gather.
+            import os
+
+            from .paged_attention_pallas import _IN_SCAN
+
+            forced = os.environ.get("TLT_MOE_DECODE")
+            if forced == "walk" or (_IN_SCAN[0] and forced != "gather"):
+                use_gather = False
         fn = _gqmm_gather_pallas if use_gather else _gqmm_magic_pallas
         out = fn(
             x2,

@@ -151,6 +151,149 @@ def paged_flash_decode(
     return out.reshape(B, Hq, L, D)
 
 
+def _paged_decode_page_kernel(
+    bt_ref,  # [B, maxp] i32 (scalar prefetch)
+    lens_ref,  # [B] i32 (scalar prefetch)
+    q_ref,  # [1, Hkv, n_rep, L, D]
+    k_ref,  # [1, Hkv, ps, D] — ONE WHOLE PAGE, all KV heads
+    v_ref,
+    o_ref,  # [1, Hkv, n_rep, L, D]
+    m_ref,  # VMEM [Hkv, R, 128] f32
+    l_ref,
+    acc_ref,  # VMEM [Hkv, R, D] f32
+    *,
+    ps: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    Hkv, n_rep, L, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
+    R = n_rep * L
+    ctx = lens_ref[b]
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i * ps < ctx)
+    def _():
+        # All-heads batched online softmax: one [Hkv, R, ps] batched MXU
+        # dot + vectorized state updates. The per-head _flash_inner loop
+        # ran 2*Hkv tiny dots and Hkv separate [R, ps] softmax passes per
+        # page; with decode-sized R (= n_rep * L, typically 4-8 rows) the
+        # kernel was BOOKKEEPING-bound, not DMA-bound (measured 354 GB/s
+        # at 32K where the 256 KiB page DMA alone would sustain ~800).
+        q = (q_ref[0].reshape(Hkv, R, D).astype(jnp.float32) * scale).astype(
+            jnp.bfloat16
+        )
+        s = jax.lax.dot_general(
+            q, k_ref[0],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [Hkv, R, ps]
+        k_pos = i * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        l_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) % L
+        q_pos = ctx - L + l_idx
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        m_prev = m_ref[:, :, :1]  # [Hkv, R, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        # Same fully-masked-row floor as _flash_inner: p underflows to 0.
+        p = jnp.exp(s - jnp.maximum(m_new, NEG_INF / 2))
+        l_new = l_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_ref[0],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        out = acc_ref[:] / jnp.maximum(l_ref[:, :, :1], 1e-30)
+        o_ref[0] = out.reshape(Hkv, n_rep, L, D).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_flash_decode_pages(
+    q: jax.Array,  # [B, Hq, L, D]
+    key_pages: jax.Array,  # [P, Hkv, ps, D]
+    value_pages: jax.Array,
+    block_table: jax.Array,  # [B, maxp] i32, -1 padded
+    context_lens: jax.Array,  # [B] i32
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole-page BlockSpec walk: the scan-safe fast decode schedule.
+
+    The original walk kernel (paged_flash_decode) DMAs one (page, head)
+    tile of ps*D*2 = 32 KiB per grid step, which caps long-context
+    throughput at ~140-370 GB/s; the manual-DMA gather kernel fixes that
+    but probabilistically faults the TPU worker on the current relay
+    when dispatched inside lax.scan decode bursts (the serving campaign
+    crashes where every synthetic probe passes —
+    benches/probe_model_burst.py). This kernel takes the gather's key
+    idea — move WHOLE PAGES across all KV heads, one contiguous
+    [Hkv, ps, D] block (256 KiB at the Qwen3 pool shape) — but
+    expresses the indirection in the BlockSpec index_map, so the DMA
+    pipeline is Mosaic's own double-buffered machinery: no manual
+    semaphores, nothing the scan transform has faulted on. Grid
+    (B, maxp) instead of (B, Hkv, maxp): Hkv-fold fewer, Hkv-fold
+    larger transfers at identical total traffic."""
+    B, Hq, L, D = q.shape
+    P, Hkv, ps, _ = key_pages.shape
+    n_rep = Hq // Hkv
+    maxp = block_table.shape[1]
+    R = n_rep * L
+
+    def q_map(b, i, bt_ref, lens_ref):
+        return (b, 0, 0, 0, 0)
+
+    def kv_map(b, i, bt_ref, lens_ref):
+        last = jnp.maximum((lens_ref[b] + ps - 1) // ps - 1, 0)
+        page = bt_ref[b, jnp.minimum(i, last)]
+        return (jnp.maximum(page, 0), 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, maxp),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, n_rep, L, D), q_map),
+            pl.BlockSpec((1, Hkv, ps, D), kv_map),
+            pl.BlockSpec((1, Hkv, ps, D), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, Hkv, n_rep, L, D), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, R, 128), jnp.float32),
+            pltpu.VMEM((Hkv, R, 128), jnp.float32),
+            pltpu.VMEM((Hkv, R, D), jnp.float32),
+        ],
+    )
+    qg = q.reshape(B, Hkv, n_rep, L, D)
+    kernel = functools.partial(_paged_decode_page_kernel, ps=ps, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, n_rep, L, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * L * maxp * ps * D,
+            bytes_accessed=2 * B * Hkv * maxp * ps * D * 2,
+            transcendentals=B * Hq * L * maxp * ps,
+        ),
+        interpret=interpret,
+    )(
+        block_table.astype(jnp.int32),
+        context_lens.astype(jnp.int32),
+        qg,
+        key_pages,
+        value_pages,
+    )
+    return out.reshape(B, Hq, L, D)
+
+
 def _paged_decode_gather_kernel(
     bt_ref,  # [B, maxp] i32 (scalar prefetch)
     lens_ref,  # [B] i32 (scalar prefetch)
@@ -725,28 +868,48 @@ def paged_attention_pallas(
         # a multiple of 128 — caught by scripts/tpu_smoke.py at D=64);
         # odd head sizes stay on the BlockSpec-walk decode kernel.
         _, Hkv, ps, _ = key_pages.shape
-        # Schedule choice, most-specific wins:
-        #   TLT_PAGED_DECODE=walk|gather — operator override.
-        #   inside a lax.scan burst (scan_scope) — default to the walk:
-        #     on the 2026-08-21 axon build the manual-DMA gather kernel
-        #     faults the TPU worker ONLY when scan-wrapped (standalone
-        #     dispatch and the whole smoke gate pass; round-2 code
-        #     crashes identically, so it is a toolchain change, not a
-        #     kernel regression). Serving bursts run short contexts
-        #     where the walk is within noise of the gather anyway; the
-        #     gather's 769 GB/s win is the long-context single-step path.
+        # Schedule choice (override with TLT_PAGED_DECODE=gather|pages|
+        # walk globally, or TLT_PAGED_DECODE_SCAN=... for scan scope):
+        #   single-step dispatch -> manual-DMA multi-page gather (769
+        #     GB/s at 32K, the long-context path).
+        #   inside a lax.scan decode burst (scan_scope) -> the
+        #     whole-page BlockSpec walk (paged_flash_decode_pages):
+        #     the gather kernel PROBABILISTICALLY faults the TPU worker
+        #     on the current relay when scan-wrapped under sustained
+        #     serving load (every synthetic probe passes — stages 1-10
+        #     of benches/probe_scan_gather_fault.py and 2/36-layer
+        #     model campaigns in probe_model_burst.py — but bench.py
+        #     --mode serving crashes minutes in, reproducibly across
+        #     two runs). The page-walk keeps the gather's whole-page
+        #     256 KiB DMA granularity but uses Mosaic's own BlockSpec
+        #     pipeline, which has never faulted under scan.
+        #   odd head dims (D % 128 != 0) -> the per-(page, head) walk
+        #     (Mosaic memref slicing needs lane-aligned D for the
+        #     larger blocks' index maps at this layout).
         import os
 
-        forced = os.environ.get("TLT_PAGED_DECODE")
-        use_gather = D % 128 == 0 and forced != "walk"
-        if _IN_SCAN[0] and forced != "gather":
-            use_gather = False
-        if use_gather:
+        forced = (
+            os.environ.get("TLT_PAGED_DECODE_SCAN") if _IN_SCAN[0] else None
+        ) or os.environ.get("TLT_PAGED_DECODE")
+        if forced in ("gather", "pages", "walk"):
+            schedule = forced
+        elif _IN_SCAN[0]:
+            schedule = "pages"
+        else:
+            schedule = "gather"
+        if D % 128 != 0:
+            schedule = "walk"
+        if schedule == "gather":
             page_bytes = Hkv * ps * D * key_pages.dtype.itemsize
             g = max(1, min((4 << 20) // page_bytes, block_table.shape[1]))
             return paged_flash_decode_gather(
                 q, key_pages, value_pages, block_table, context_lens,
                 scale=float(scale), pages_per_tile=g, interpret=interpret,
+            )
+        if schedule == "pages":
+            return paged_flash_decode_pages(
+                q, key_pages, value_pages, block_table, context_lens,
+                scale=float(scale), interpret=interpret,
             )
         return paged_flash_decode(
             q, key_pages, value_pages, block_table, context_lens,
