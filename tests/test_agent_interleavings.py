@@ -476,6 +476,243 @@ class TestBranchingUnderAppend:
             assert texts == [f"m{i}" for i in range(6)]
 
 
+class TestCompactionInterleavings:
+    """Durable compaction racing the steering queue and session
+    branching: the compacted view must be reproducible from the log
+    alone, and steering must survive compaction un-duplicated."""
+
+    def _long_session(self, tmp_path, n_turns=6):
+        from tiny_llm_tpu.agent.context import ContextManager, ContextPolicy
+
+        log = SessionLog(str(tmp_path / "s.jsonl"))
+        log.append("user_message", {"text": "the original task " + "x" * 400})
+        for i in range(n_turns):
+            log.append("assistant_message", {"text": f"thinking {i} " + "y" * 400})
+            log.append("user_message", {"text": f"feedback {i} " + "z" * 400})
+        cm = ContextManager(
+            encode=lambda t: max(1, len(t) // 4),
+            policy=ContextPolicy(
+                max_tokens=700, reserve_output=100, max_summary_tokens=200,
+                max_tool_result_tokens=100, min_recent_turns=2,
+            ),
+            session_log=log,
+        )
+        return log, cm
+
+    def test_steering_queued_before_compaction_survives_it(self, tmp_path):
+        """Steering queued, THEN a compaction lands (another part of the
+        turn pipeline), then delivery: the steering must still be
+        pending after compaction, deliver exactly once, and appear in
+        the message view AFTER the summary block."""
+        log, cm = self._long_session(tmp_path)
+        log.queue_steering("switch to the other branch")
+        compacted = cm.prepare(log.messages())
+        assert cm.compactions == 1
+        assert compacted[0]["content"].startswith("[summary of earlier work]")
+        # The queue is event-level state; compaction is view-level.
+        assert [e.data["text"] for e in log.pending_steering()] == [
+            "switch to the other branch"
+        ]
+        assert log.deliver_pending_steering() == ["switch to the other branch"]
+        assert log.pending_steering() == []
+        view = log.messages()
+        steering = [i for i, m in enumerate(view)
+                    if m["content"].startswith("[steering]")]
+        summary = [i for i, m in enumerate(view)
+                   if m["content"].startswith("[summary of earlier work]")]
+        assert len(steering) == 1 and len(summary) == 1
+        assert summary[0] < steering[0]
+
+    def test_compacted_view_reproducible_after_reload_and_branch(
+        self, tmp_path
+    ):
+        """The durable compaction event must reproduce the exact
+        compacted view from the log alone — including through
+        SessionStore.branch into a new lineage."""
+        store = SessionStore(str(tmp_path))
+        log = store.create()
+        log.append("user_message", {"text": "task " + "x" * 300})
+        for i in range(5):
+            log.append("assistant_message", {"text": f"t{i} " + "y" * 300})
+            log.append("user_message", {"text": f"u{i} " + "z" * 300})
+        from tiny_llm_tpu.agent.context import ContextManager, ContextPolicy
+
+        cm = ContextManager(
+            encode=lambda t: max(1, len(t) // 4),
+            policy=ContextPolicy(
+                max_tokens=500, reserve_output=80, max_summary_tokens=150,
+                max_tool_result_tokens=80, min_recent_turns=2,
+            ),
+            session_log=log,
+        )
+        cm.prepare(log.messages())
+        assert cm.compactions == 1
+        view = log.messages()
+
+        reloaded = store.load(store.session_id(log))
+        assert reloaded.messages() == view
+
+        branch = store.branch(store.session_id(log), log.events[-1].id)
+        assert branch.messages() == view
+        # Divergence after the branch point does not retro-change the view.
+        log.append("user_message", {"text": "post-branch"})
+        fresh = store.load(store.session_id(branch))
+        assert fresh.messages() == view
+
+    def test_summarizer_crash_mid_compaction_falls_back_durably(
+        self, tmp_path
+    ):
+        """A model summarizer that raises mid-compaction must fall back
+        to the deterministic summary AND leave a durable failed
+        summary_attempt event naming the error."""
+        from tiny_llm_tpu.agent.context import ContextManager, ContextPolicy
+
+        log, _ = self._long_session(tmp_path)
+
+        def exploding(messages):
+            raise RuntimeError("summarizer OOM")
+
+        cm = ContextManager(
+            encode=lambda t: max(1, len(t) // 4),
+            policy=ContextPolicy(
+                max_tokens=700, reserve_output=100, max_summary_tokens=200,
+                max_tool_result_tokens=100, min_recent_turns=2,
+            ),
+            summarize=exploding,
+            session_log=log,
+        )
+        compacted = cm.prepare(log.messages())
+        assert compacted[0]["content"].startswith("[summary of earlier work]")
+        attempts = [e for e in log.events if e.type == "summary_attempt"]
+        assert [a.data["ok"] for a in attempts] == [False]
+        assert "summarizer OOM" in attempts[0].data["error"]
+        # The durable compaction carries the FALLBACK summary.
+        [comp] = [e for e in log.events if e.type == "compaction"]
+        assert comp.data["summary"]
+
+
+class FaultOnNthCall:
+    """Model proxy: delegates everything, raises once on call #n."""
+
+    def __init__(self, model, fault_at: int):
+        self._model = model
+        self._fault_at = fault_at
+        self.calls = 0
+
+    def __getattr__(self, name):
+        return getattr(self._model, name)
+
+    def __call__(self, *args, **kwargs):
+        self.calls += 1
+        if self.calls == self._fault_at:
+            raise RuntimeError("injected device fault")
+        return self._model(*args, **kwargs)
+
+
+class TestGenerationFaultInterleavings:
+    """GenerationSession under mid-stream faults: the reset-retry path
+    must produce byte-identical text to a cold session AND leave the
+    cache consistent enough that the NEXT turn warm-reuses."""
+
+    @pytest.fixture(scope="class")
+    def gen_model(self):
+        from tiny_llm_tpu.models import (
+            Qwen3Model,
+            random_params,
+            tiny_test_config,
+        )
+
+        cfg = tiny_test_config(num_hidden_layers=2)
+        return Qwen3Model(random_params(cfg, key=0), cfg, max_seq_len=256)
+
+    def _msgs(self, *contents):
+        out = [{"role": "user", "content": contents[0]}]
+        for i, c in enumerate(contents[1:]):
+            out.append(
+                {"role": "assistant" if i % 2 == 0 else "user", "content": c}
+            )
+        return out
+
+    def test_fault_mid_decode_retry_matches_cold_and_reuses_after(
+        self, gen_model
+    ):
+        from tiny_llm_tpu.agent import GenerationSession
+
+        from .utils import FakeTokenizer
+
+        tok = FakeTokenizer()
+        convo = self._msgs("hello fault world")
+        reference, _ = GenerationSession(gen_model, tok, max_tokens=6)(convo)
+
+        # Call #1 creates the session's first turn; fault partway through
+        # ITS decode loop (prefill chunks + a few decode steps in).
+        faulty = FaultOnNthCall(gen_model, fault_at=3)
+        sess = GenerationSession(faulty, tok, max_tokens=6)
+        out, stats = sess(convo)
+        assert out == reference
+        assert stats.cold_start  # the retry arm ran
+        assert faulty.calls > 3  # fault actually fired mid-stream
+
+        # The retried cache must be coherent: the next turn warm-reuses
+        # and still matches a cold session on the extended conversation.
+        convo2 = self._msgs("hello fault world", out, "continue please")
+        out2, stats2 = sess(convo2)
+        assert stats2.reused_tokens > 0 and not stats2.cold_start
+        ref2, _ = GenerationSession(gen_model, tok, max_tokens=6)(convo2)
+        assert out2 == ref2
+
+    def test_fault_during_prefill_chunk_retry_matches_cold(self, gen_model):
+        from tiny_llm_tpu.agent import GenerationSession
+
+        from .utils import FakeTokenizer
+
+        tok = FakeTokenizer()
+        convo = self._msgs("a rather longer prompt that spans chunks")
+        reference, _ = GenerationSession(
+            gen_model, tok, max_tokens=4, prefill_chunk=4
+        )(convo)
+        faulty = FaultOnNthCall(gen_model, fault_at=2)  # second prefill chunk
+        sess = GenerationSession(faulty, tok, max_tokens=4, prefill_chunk=4)
+        out, stats = sess(convo)
+        assert out == reference
+        assert stats.cold_start
+
+    def test_paged_prefix_reuse_matches_dense_and_frees_pages(self):
+        """Prefix reuse over a PAGED cache: divergent-prefix rewind at
+        page granularity must equal the dense session's text, and reset
+        must return every page to the pool."""
+        from tiny_llm_tpu.agent import GenerationSession
+        from tiny_llm_tpu.models import (
+            Qwen3Model,
+            random_params,
+            tiny_test_config,
+        )
+
+        from .utils import FakeTokenizer
+
+        cfg = tiny_test_config(num_hidden_layers=2)
+        params = random_params(cfg, key=0)
+        dense = Qwen3Model(params, cfg, max_seq_len=256)
+        paged = Qwen3Model(params, cfg, max_seq_len=256)
+        paged.enable_paged_attention(num_pages=40, page_size=16)
+        baseline_live = paged.page_pool.live_pages
+
+        tok = FakeTokenizer()
+        dsess = GenerationSession(dense, tok, max_tokens=5)
+        psess = GenerationSession(paged, tok, max_tokens=5)
+        for convo in (
+            self._msgs("first topic alpha"),
+            self._msgs("first topic beta entirely different tail"),
+        ):
+            dout, dstats = dsess(convo)
+            pout, pstats = psess(convo)
+            assert pout == dout
+        assert pstats.rewound_tokens > 0  # the divergent turn rewound
+        assert paged.page_pool.live_pages > baseline_live
+        psess.reset()
+        assert paged.page_pool.live_pages == baseline_live
+
+
 class UndoFixture:
     """Workspace with three committed journaled changes past a
     checkpoint: a.txt/b.txt edited, c.txt created."""
