@@ -204,3 +204,34 @@ def test_fused_rmsnorm_prologue_matches_separate():
             assert np.max(np.abs(a - b)) < 0.15, np.max(np.abs(a - b))
     finally:
         qm.FUSE_NORM_ENABLED = prev
+
+
+def test_residual_epilogue_matches_post_add():
+    """The fused residual epilogue (kernels/quant_matmul.py) must equal
+    matmul-then-add on both the decode (M<=32) and staged prefill
+    (M>=128) kernel paths, and on the XLA fallback."""
+    import numpy as np
+
+    from tiny_llm_tpu.kernels.quant_matmul import quantized_matmul
+
+    rng = np.random.default_rng(5)
+    N, K = 256, 256
+    w = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32) * 0.05)
+    qt = quantize(w, group_size=128, bits=4, layout="magic_t")
+    for M in (1, 256):
+        x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+        r = jnp.asarray(rng.normal(size=(M, N)), jnp.bfloat16)
+        base = quantized_matmul(x, qt, impl="pallas", interpret=True)
+        fused = quantized_matmul(
+            x, qt, residual=r, impl="pallas", interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused, np.float32),
+            np.asarray(base + r, np.float32),
+            atol=0.06, rtol=0.02,
+        )
+        xla = quantized_matmul(x, qt, residual=r, impl="xla")
+        np.testing.assert_allclose(
+            np.asarray(fused, np.float32), np.asarray(xla, np.float32),
+            atol=0.2, rtol=0.05,
+        )

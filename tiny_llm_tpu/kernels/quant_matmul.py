@@ -134,7 +134,7 @@ def _block_sizes(M: int, N: int, K: int):
 
 def _magic_kernel(
     x_ref, w_ref, s_ref, b_ref, out_ref, stage_ref, acc_ref, *, group_size,
-    nw_ref=None, xn_ref=None, true_k: int = 0, eps: float = 1e-6,
+    nw_ref=None, xn_ref=None, res_ref=None, true_k: int = 0, eps: float = 1e-6,
     k_axis: int | None = None,
 ):
     """acc[bm, bn] += x[bm, K] @ magic-dequant(w[K/8, bn]) — transposed layout.
@@ -240,7 +240,16 @@ def _magic_kernel(
                 xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
                 acc_ref[:] += xs * b_ref[g : g + 1, :].astype(jnp.float32)
     if k_axis is None:
-        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+        acc = acc_ref[:]
+        if res_ref is not None:
+            # Residual epilogue: the model's pre-norm residual add
+            # (h + proj(x)) folds into the output write — one fewer XLA
+            # pointwise launch per projection, and the add happens in f32
+            # before the bf16 round. Output-side only: it never touches
+            # the weight-stream pipeline (unlike the input-side norm
+            # fusion, which measured -8% and stays off).
+            acc = acc + res_ref[:].astype(jnp.float32)
+        out_ref[:] = acc.astype(out_ref.dtype)
     else:
         @pl.when(pl.program_id(k_axis) == pl.num_programs(k_axis) - 1)
         def _():
@@ -273,7 +282,24 @@ def _magic_block_sizes(M: int, N: int, Kp: int) -> tuple[int, int]:
     if bm >= 128:
         bn = 512
     else:
-        bn = min(1024, max(256, 256 * -(-(N // 8) // 256)))
+        # Block-size A/B knobs against the stable whole-model device
+        # ceiling (noisy per-op probes could not resolve this):
+        #   TLT_QMM_BN_CAP_MB — cap the packed block bytes (smaller
+        #     blocks). Measured WORSE: 1.0 MiB cap dropped the Qwen3-4B
+        #     decode ceiling 281.9 -> 239.8 tok/s (more grid steps =
+        #     more per-step overhead; the <=1MiB-blocks-run-clean
+        #     pattern in the per-op table was a harness artifact).
+        #   TLT_QMM_BN_MAX — raise the 1024 clamp (bigger blocks for
+        #     fat-N shapes; VMEM fit still enforced below).
+        import os
+
+        bn_max = int(os.environ.get("TLT_QMM_BN_MAX", "1024"))
+        bn = min(bn_max, max(256, 256 * -(-(N // 8) // 256)))
+        cap_mb = os.environ.get("TLT_QMM_BN_CAP_MB")
+        if cap_mb:
+            cap_bytes = int(float(cap_mb) * 1024 * 1024)
+            bn_cap = max(128, cap_bytes // (words * 4) // 128 * 128)
+            bn = min(bn, bn_cap)
     while not fits(bm, bn) and bn > 256:
         bn //= 2
     while not fits(bm, bn) and bm > 8:
@@ -303,7 +329,9 @@ def _magic_k_split(M: int, N: int, bn: int, Kp: int, G: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "bits", "true_k", "eps", "k_split", "interpret"),
+    static_argnames=(
+        "group_size", "bits", "true_k", "eps", "k_split", "block_n", "interpret"
+    ),
 )
 def _qmm_magic_pallas(
     x_pad: jax.Array,  # [M, k_padded] bf16
@@ -311,11 +339,13 @@ def _qmm_magic_pallas(
     scales_t: jax.Array,  # [G, N] f32
     biases_t: jax.Array,  # [G, N] f32
     nw: jax.Array | None = None,  # [1, k_padded] — fused-RMSNorm weight
+    residual: jax.Array | None = None,  # [M, N] — fused output-side add
     group_size: int = 128,
     bits: int = 4,
     true_k: int = 0,
     eps: float = 1e-6,
     k_split: int | None = None,
+    block_n: int | None = None,  # override the bn heuristic (probe/sweep use)
     interpret: bool = False,
 ) -> jax.Array:
     assert bits == 4
@@ -323,6 +353,10 @@ def _qmm_magic_pallas(
     N = packed_t.shape[1]
     G = scales_t.shape[0]
     bm, bn = _magic_block_sizes(M, N, Kp)
+    if block_n is not None:
+        bn = min(block_n, N)
+    if residual is not None:
+        k_split = 1  # residual epilogue needs the single final out write
     staged = bm >= 128  # prefill: one 512-deep dot per supergroup
     assert nw is None or not staged, (
         "fused norm is decode-path only (wrapper pre-normalizes at prefill)"
@@ -376,7 +410,15 @@ def _qmm_magic_pallas(
         x_map = lambda m, n: (m, 0)
         w_map = lambda m, n: (0, n)
         o_map = lambda m, n: (m, n)
-        kernel = functools.partial(_magic_kernel, group_size=group_size)
+        if residual is None:
+            kernel = functools.partial(_magic_kernel, group_size=group_size)
+        else:
+            kernel = functools.partial(
+                lambda x, w, s, b, r, o, stage, acc, **kw: _magic_kernel(
+                    x, w, s, b, o, stage, acc, res_ref=r, **kw
+                ),
+                group_size=group_size,
+            )
         stage_scratch = [pltpu.VMEM((4 * group_size, bn), jnp.bfloat16)]
         norm_scratch = []
     else:
@@ -386,14 +428,23 @@ def _qmm_magic_pallas(
         w_map = lambda n, m: (0, n)
         o_map = lambda n, m: (m, n)
         if nw is None:
-            kernel = functools.partial(
-                lambda x, w, s, b, o, acc, **kw: _magic_kernel(
-                    x, w, s, b, o, None, acc, **kw
-                ),
-                group_size=group_size,
-            )
+            if residual is None:
+                kernel = functools.partial(
+                    lambda x, w, s, b, o, acc, **kw: _magic_kernel(
+                        x, w, s, b, o, None, acc, **kw
+                    ),
+                    group_size=group_size,
+                )
+            else:
+                kernel = functools.partial(
+                    lambda x, w, s, b, r, o, acc, **kw: _magic_kernel(
+                        x, w, s, b, o, None, acc, res_ref=r, **kw
+                    ),
+                    group_size=group_size,
+                )
             norm_scratch = []
         else:
+            assert residual is None, "norm prologue + residual epilogue unsupported"
             kernel = functools.partial(
                 lambda nwr, x, w, s, b, o, acc, xn, **kw: _magic_kernel(
                     x, w, s, b, o, None, acc, nw_ref=nwr, xn_ref=xn, **kw
@@ -406,6 +457,8 @@ def _qmm_magic_pallas(
         stage_scratch = []
     nw_spec = [pl.BlockSpec((1, Kp), lambda *a: (0, 0))] if nw is not None else []
     nw_args = (nw.reshape(1, Kp),) if nw is not None else ()
+    res_spec = [pl.BlockSpec((bm, bn), o_map)] if residual is not None else []
+    res_args = (residual,) if residual is not None else ()
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -415,7 +468,8 @@ def _qmm_magic_pallas(
             pl.BlockSpec((Kp // 8, bn), w_map),
             pl.BlockSpec((G, bn), w_map),
             pl.BlockSpec((G, bn), w_map),
-        ],
+        ]
+        + res_spec,
         out_specs=pl.BlockSpec((bm, bn), o_map),
         out_shape=jax.ShapeDtypeStruct((M, N), x_pad.dtype),
         scratch_shapes=stage_scratch
@@ -427,7 +481,7 @@ def _qmm_magic_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*nw_args, x_pad, packed_t, scales_t, biases_t)
+    )(*nw_args, x_pad, packed_t, scales_t, biases_t, *res_args)
 
 
 @functools.partial(
@@ -481,14 +535,18 @@ def quantized_matmul(
     impl: str | None = None,
     norm_weight: jax.Array | None = None,
     eps: float = 1e-6,
+    residual: jax.Array | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """y = x @ dequant(qt).T (+ bias). x: [..., in_features].
+    """y = x @ dequant(qt).T (+ bias) (+ residual). x: [..., in_features].
 
     When `norm_weight` is given, x is RMS-normalized first
     (y = rms_norm(x, norm_weight, eps) @ W.T) — fused into the Pallas
     kernel prologue on the magic_t path, applied as a separate XLA op
-    otherwise. Numerics match ops/norm.rms_norm (f32 statistics)."""
+    otherwise. Numerics match ops/norm.rms_norm (f32 statistics).
+    `residual` ([..., out_features]) is added into the output — fused
+    into the kernel's final write on the magic_t path (one fewer XLA
+    launch per pre-norm residual block), an ordinary add elsewhere."""
     assert x.shape[-1] == qt.in_features, (
         f"x K={x.shape[-1]} vs weight K={qt.in_features}"
     )
@@ -514,7 +572,10 @@ def quantized_matmul(
 
         x = rms_norm(x, norm_weight, eps)
     if use == "xla":
-        return _quantized_matmul_xla(x, qt, bias)
+        out = _quantized_matmul_xla(x, qt, bias)
+        if residual is not None:
+            out = out + residual.astype(out.dtype)
+        return out
     *lead, K = x.shape
     x2 = x.reshape(-1, K).astype(jnp.bfloat16)
     if qt.k_padded != K:
@@ -527,18 +588,24 @@ def quantized_matmul(
                 nw = jnp.pad(nw, ((0, 0), (0, qt.k_padded - K)))
             # The fused prologue consumes the PRE-norm x in f32; the bf16
             # cast of x2 above matches the unfused path's input dtype.
+        res2 = None
+        if residual is not None and bias is None and nw is None:
+            res2 = residual.reshape(-1, qt.out_features).astype(jnp.bfloat16)
         out = _qmm_magic_pallas(
             x2,
             qt.packed,
             qt.scales,
             qt.biases,
             nw=nw,
+            residual=res2,
             group_size=qt.group_size,
             bits=qt.bits,
             true_k=K,
             eps=float(eps),
             interpret=interpret,
         )
+        if res2 is not None:
+            residual = None  # folded into the kernel epilogue
     else:
         out = _qmm_pallas(
             x2,
@@ -551,4 +618,6 @@ def quantized_matmul(
         )
     if bias is not None:
         out = (out.astype(jnp.float32) + bias.astype(jnp.float32)).astype(out.dtype)
+    if residual is not None:
+        out = out + residual.reshape(-1, qt.out_features).astype(out.dtype)
     return out.reshape(*lead, qt.out_features).astype(x.dtype)

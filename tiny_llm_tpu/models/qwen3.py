@@ -144,16 +144,20 @@ class Qwen3Params:
     lm_head: Any  # None when tied
 
 
-def _linear(x: jax.Array, w) -> jax.Array:
+def _linear(x: jax.Array, w, residual: jax.Array | None = None) -> jax.Array:
+    """x @ w.T (+ residual) — the residual of a pre-norm block rides the
+    quantized kernel's fused output write (one launch instead of
+    matmul + XLA add; kernels/quant_matmul.py residual epilogue)."""
     if isinstance(w, QuantizedTensor):
-        return quantized_linear(x, w)
+        return quantized_linear(x, w, residual=residual)
     out = jax.lax.dot_general(
         x,
         w,
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return out.astype(x.dtype)
+    out = out.astype(x.dtype)
+    return out if residual is None else out + residual
 
 
 def _embed(params: Qwen3Params, tokens: jax.Array) -> jax.Array:
@@ -239,15 +243,18 @@ def _qkv(
 
 
 def _mlp(
-    cfg: Qwen3Config, p, x: jax.Array, norm_w: jax.Array | None = None
+    cfg: Qwen3Config, p, x: jax.Array, norm_w: jax.Array | None = None,
+    residual: jax.Array | None = None,
 ) -> jax.Array:
-    """[pre-norm +] MLP. When norm_w is given, x is the RAW residual and
-    the post-attention layernorm fuses into the (quantized) projection."""
+    """[pre-norm +] MLP [+ residual]. When norm_w is given, x is the RAW
+    residual stream and the post-attention layernorm fuses into the
+    (quantized) projection; `residual` rides the down-projection's fused
+    output write."""
     eps = cfg.rms_norm_eps
     if isinstance(p, MoEParams):
         if norm_w is not None:
             x = rms_norm(x, norm_w, eps)  # router + experts share the norm
-        return moe_forward(
+        out = moe_forward(
             x,
             p.w_router,
             p.w_gate,
@@ -256,13 +263,20 @@ def _mlp(
             num_experts_per_tok=cfg.num_experts_per_tok,
             norm_topk_prob=cfg.norm_topk_prob,
         )
+        return out if residual is None else out + residual
     if p.w_gate_up is not None:
         gu = _norm_linear(x, p.w_gate_up, norm_w, eps)
         half = gu.shape[-1] // 2
-        return _linear(swiglu(gu[..., :half], gu[..., half:]), p.w_down)
+        return _linear(
+            swiglu(gu[..., :half], gu[..., half:]), p.w_down,
+            residual=residual,
+        )
     if norm_w is not None:
         x = rms_norm(x, norm_w, eps)
-    return _linear(swiglu(_linear(x, p.w_gate), _linear(x, p.w_up)), p.w_down)
+    return _linear(
+        swiglu(_linear(x, p.w_gate), _linear(x, p.w_up)), p.w_down,
+        residual=residual,
+    )
 
 
 def _fuse_linears(ws: list) -> Any:
@@ -346,8 +360,9 @@ def forward_full(
         )
         attn = flash_attention(q, k, v, scale=scale, mask="causal", impl="xla")
         attn = attn.transpose(0, 2, 1, 3).reshape(B, L, -1)
-        h = h + _linear(attn, layer.attn.wo)
-        h = h + _mlp(cfg, layer.mlp, h, norm_w=layer.post_attention_layernorm)
+        h = _linear(attn, layer.attn.wo, residual=h)
+        h = _mlp(cfg, layer.mlp, h, norm_w=layer.post_attention_layernorm,
+                 residual=h)
     h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)
     return _lm_head(params, h)
 
@@ -393,8 +408,9 @@ def forward_step(
             q, k_win, v_win, scale=scale, mask="causal", lens=lens, impl=attn_impl
         )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, L, -1)
-        h = h + _linear(attn, layer.attn.wo)
-        h = h + _mlp(cfg, layer.mlp, h, norm_w=layer.post_attention_layernorm)
+        h = _linear(attn, layer.attn.wo, residual=h)
+        h = _mlp(cfg, layer.mlp, h, norm_w=layer.post_attention_layernorm,
+                 residual=h)
     if logits_to_keep is not None:
         h = h[:, -logits_to_keep:, :]
     h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)
@@ -489,8 +505,9 @@ def forward_step_paged(
                 mask="causal", impl=attn_impl,
             )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, L, -1)
-        h = h + _linear(attn, layer.attn.wo)
-        h = h + _mlp(cfg, layer.mlp, h, norm_w=layer.post_attention_layernorm)
+        h = _linear(attn, layer.attn.wo, residual=h)
+        h = _mlp(cfg, layer.mlp, h, norm_w=layer.post_attention_layernorm,
+                 residual=h)
     if logits_to_keep is not None:
         h = h[:, -logits_to_keep:, :]
     h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)

@@ -465,14 +465,17 @@ def quantized_linear(
     impl: str | None = None,
     norm_weight: jax.Array | None = None,
     eps: float = 1e-6,
+    residual: jax.Array | None = None,
 ) -> jax.Array:
-    """y = x @ dequant(qt).T (+ bias), dispatching to the Pallas
-    dequant-fused kernel on TPU (see kernels/quant_matmul.py). Mirrors the
-    reference's matvec-vs-matmul kernel selection (quantize.py:49-90).
-    `norm_weight` RMS-normalizes x first, fused into the kernel prologue
-    where supported."""
+    """y = x @ dequant(qt).T (+ bias) (+ residual), dispatching to the
+    Pallas dequant-fused kernel on TPU (see kernels/quant_matmul.py).
+    Mirrors the reference's matvec-vs-matmul kernel selection
+    (quantize.py:49-90). `norm_weight` RMS-normalizes x first, fused into
+    the kernel prologue where supported; `residual` adds into the output,
+    fused into the kernel epilogue where supported."""
     from ..kernels import quantized_matmul
 
     return quantized_matmul(
-        x, qt, bias=bias, impl=impl, norm_weight=norm_weight, eps=eps
+        x, qt, bias=bias, impl=impl, norm_weight=norm_weight, eps=eps,
+        residual=residual,
     )
