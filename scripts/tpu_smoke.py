@@ -190,6 +190,51 @@ def smoke_split_prefill():
     _close(got, want)
 
 
+def smoke_fused_decode_attention():
+    """Fused qkv-split + QK-norm + RoPE + flash decode (round-4 kernel)
+    vs the unfused op chain at matching rounding points."""
+    from tiny_llm_tpu.kernels.fused_decode_attention import fused_decode_attention
+    from tiny_llm_tpu.kernels.flash_attention import flash_attention
+    from tiny_llm_tpu.ops.norm import rms_norm
+    from tiny_llm_tpu.ops.rope import apply_rope, rope_tables
+
+    rng = np.random.default_rng(9)
+    B, Hkv, n_rep, D, S = 2, 4, 2, 128, 256
+    qkv_rows = jnp.asarray(rng.normal(size=(B, Hkv, n_rep + 2, D)), jnp.bfloat16)
+    keys = jnp.asarray(rng.normal(size=(2, B, Hkv, S, D)), jnp.bfloat16)
+    values = jnp.asarray(rng.normal(size=(2, B, Hkv, S, D)), jnp.bfloat16)
+    qw = jnp.asarray(rng.normal(size=(D,)) * 0.1 + 1.0, jnp.float32)
+    kwt = jnp.asarray(rng.normal(size=(D,)) * 0.1 + 1.0, jnp.float32)
+    offsets = jnp.asarray([40, 200], jnp.int32)
+    cos_t, sin_t = rope_tables(D, S)
+    scale = D ** -0.5
+    got, k_row, v_row = fused_decode_attention(
+        qkv_rows, keys, values, offsets,
+        jnp.take(cos_t, offsets, axis=0), jnp.take(sin_t, offsets, axis=0),
+        qw, kwt, layer_idx=1, scale=scale, eps=1e-6, window=S, bs=128,
+    )
+    # Unfused chain: norm/rope, scatter, dense flash with lens.
+    q = rms_norm(qkv_rows[:, :, :n_rep, :].reshape(B, 1, Hkv * n_rep, D), qw, 1e-6)
+    k = rms_norm(qkv_rows[:, :, n_rep, :].reshape(B, 1, Hkv, D), kwt, 1e-6)
+    v = qkv_rows[:, :, n_rep + 1, :].reshape(B, 1, Hkv, D)
+    q = apply_rope(q, cos_t, sin_t, offsets[:, None], D).transpose(0, 2, 1, 3)
+    k = apply_rope(k, cos_t, sin_t, offsets[:, None], D).transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    slab_k, slab_v = keys[1], values[1]
+    for b in range(B):
+        slab_k = jax.lax.dynamic_update_slice(
+            slab_k, k[b][None], (jnp.int32(b), jnp.int32(0), offsets[b], jnp.int32(0)))
+        slab_v = jax.lax.dynamic_update_slice(
+            slab_v, v[b][None], (jnp.int32(b), jnp.int32(0), offsets[b], jnp.int32(0)))
+    want = flash_attention(
+        q, slab_k, slab_v, scale=scale, mask="causal", lens=offsets + 1,
+        impl="xla",
+    )
+    _close(got.reshape(B, Hkv * n_rep, 1, D), want)
+    _close(k_row.reshape(B, Hkv, 1, D), k, atol=3e-2)
+    _close(v_row.reshape(B, Hkv, 1, D), v, atol=1e-6)
+
+
 def smoke_axpby():
     from tiny_llm_tpu.kernels.axpby import axpby
 
@@ -209,6 +254,7 @@ SMOKES = [
     ("quant_matmul", smoke_quant_matmul),
     ("moe_gqmm", smoke_moe_gather_and_walk),
     ("split_prefill", smoke_split_prefill),
+    ("fused_decode_attention", smoke_fused_decode_attention),
     ("axpby", smoke_axpby),
 ]
 

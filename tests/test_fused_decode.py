@@ -1,0 +1,172 @@
+"""Fused decode-attention step kernel + interleaved qkv fusion.
+
+The round-4 decode-roofline work replaces the per-layer XLA glue
+(qkv split, QK-RMSNorm, RoPE, KV window slice, flash decode) with one
+Pallas kernel (kernels/fused_decode_attention.py) fed by a fused qkv
+weight whose columns are interleaved per KV head. These tests pin:
+
+  * the interleave permutation is an exact relayout (same logits through
+    the XLA path, quantized and dense),
+  * the kernel (interpret mode) matches the unfused op chain:
+    rms_norm -> apply_rope -> scatter -> flash_attention, including the
+    bf16 rounding points and the current-row fold,
+  * per-row offsets, short contexts, and offset-0 rows.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tiny_llm_tpu.kernels.fused_decode_attention import fused_decode_attention
+from tiny_llm_tpu.models import (
+    Qwen3Model,
+    random_params,
+    tiny_test_config,
+)
+from tiny_llm_tpu.models.qwen3 import fuse_projections
+from tiny_llm_tpu.ops.norm import rms_norm
+from tiny_llm_tpu.ops.rope import apply_rope, rope_tables
+
+
+def _reference_step(qkv_rows, keys, values, offsets, cos_t, sin_t, qw, kw,
+                    layer_idx, scale, eps):
+    """Unfused op chain at matching rounding points (models/qwen3.py
+    forward_step's non-fused branch, specialized to L=1)."""
+    from tiny_llm_tpu.ops.attention import scaled_dot_product_attention_grouped
+
+    B, Hkv, rows, D = qkv_rows.shape
+    n_rep = rows - 2
+    q = qkv_rows[:, :, :n_rep, :].reshape(B, 1, Hkv * n_rep, D)
+    k = qkv_rows[:, :, n_rep, :][:, None].transpose(0, 1, 2, 3)
+    k = qkv_rows[:, :, n_rep, :].reshape(B, 1, Hkv, D)
+    v = qkv_rows[:, :, n_rep + 1, :].reshape(B, 1, Hkv, D)
+    positions = offsets[:, None]
+    q = rms_norm(q, qw, eps)
+    k = rms_norm(k, kw, eps)
+    q = apply_rope(q, cos_t, sin_t, positions, D)
+    k = apply_rope(k, cos_t, sin_t, positions, D)
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    # Scatter current row then attend over [0, offsets] per row, exactly
+    # like the dense path (mask by lens).
+    new_k = keys
+    new_v = values
+    for b in range(B):
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, k[b][None, None],
+            (jnp.int32(layer_idx), jnp.int32(b), jnp.int32(0), offsets[b],
+             jnp.int32(0)))
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, v[b][None, None],
+            (jnp.int32(layer_idx), jnp.int32(b), jnp.int32(0), offsets[b],
+             jnp.int32(0)))
+    lens = offsets + 1
+    S = keys.shape[3]
+    k_all = new_k[layer_idx]
+    v_all = new_v[layer_idx]
+    # Masked reference attention (f32): causal + length.
+    qf = q.astype(jnp.float32)
+    kf = k_all.astype(jnp.float32)
+    vf = v_all.astype(jnp.float32)
+    n_rep_ = q.shape[1] // kf.shape[1]
+    out = np.zeros(q.shape, np.float32)
+    for b in range(B):
+        for hq in range(q.shape[1]):
+            hkv = hq // n_rep_
+            s = (qf[b, hq, 0] @ kf[b, hkv].T) * scale  # [S]
+            pos = np.arange(S)
+            valid = pos < int(lens[b])
+            s = np.where(valid, np.asarray(s), -np.inf)
+            p = np.exp(s - s.max())
+            p = p / p.sum()
+            out[b, hq, 0] = p @ np.asarray(vf[b, hkv])
+    return out, np.asarray(new_k), np.asarray(new_v)
+
+
+@pytest.mark.parametrize("offs", [[5], [0], [63], [17, 0, 40, 63]])
+def test_fused_kernel_matches_unfused_chain(offs):
+    B = len(offs)
+    Hkv, n_rep, D, S = 2, 2, 128, 64
+    L_layers = 3
+    layer_idx = 1
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    qkv_rows = jax.random.normal(k1, (B, Hkv, n_rep + 2, D), jnp.bfloat16)
+    keys = jax.random.normal(k2, (L_layers, B, Hkv, S, D), jnp.bfloat16)
+    values = jax.random.normal(k3, (L_layers, B, Hkv, S, D), jnp.bfloat16)
+    qw = jax.random.normal(k4, (D,), jnp.float32) * 0.1 + 1.0
+    kw = jax.random.normal(k5, (D,), jnp.float32) * 0.1 + 1.0
+    cos_t, sin_t = rope_tables(D, S)
+    offsets = jnp.asarray(offs, jnp.int32)
+    scale = D ** -0.5
+    eps = 1e-6
+
+    attn, k_row, v_row = fused_decode_attention(
+        qkv_rows, keys, values, offsets,
+        jnp.take(cos_t, offsets, axis=0), jnp.take(sin_t, offsets, axis=0),
+        qw, kw, layer_idx=layer_idx, scale=scale, eps=eps, window=S,
+        bs=32, interpret=True,
+    )
+    ref_out, ref_k, ref_v = _reference_step(
+        qkv_rows, keys, values, offsets, cos_t, sin_t, qw, kw,
+        layer_idx, scale, eps)
+
+    got = np.asarray(attn.reshape(B, Hkv * n_rep, 1, D), np.float32)
+    np.testing.assert_allclose(got, ref_out, atol=2e-2, rtol=2e-2)
+    # The emitted k/v rows must match the rows the reference scattered.
+    # k allows one bf16 ulp: interpret-mode Pallas rounds the norm chain
+    # once where XLA double-rounds (compiled-TPU parity is covered by the
+    # whole-model fused-vs-unfused test in test_model/tpu smoke).
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(k_row[b, :, 0, :], np.float32),
+            ref_k[layer_idx, b, :, int(offs[b]), :].astype(np.float32),
+            atol=2e-2)
+        np.testing.assert_array_equal(
+            np.asarray(v_row[b, :, 0, :]),
+            ref_v[layer_idx, b, :, int(offs[b]), :])
+
+
+def test_interleaved_fusion_same_logits_quantized():
+    """fuse_projections now interleaves fused qkv columns per KV head;
+    the XLA forward must produce identical logits to unfused params."""
+    cfg = tiny_test_config(num_hidden_layers=2)
+    params = random_params(cfg, key=0, quantized=True)
+    fused = fuse_projections(params)
+    for layer in fused.layers:
+        assert layer.attn.wqkv is not None
+        assert layer.attn.qkv_interleaved
+    tok = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    m0 = Qwen3Model(params, cfg, max_seq_len=64, fuse=False)
+    m1 = Qwen3Model(fused, cfg, max_seq_len=64, fuse=False)
+    c0 = m0.create_kv_cache()
+    c1 = m1.create_kv_cache()
+    l0 = m0(tok, 0, c0)
+    l1 = m1(tok, 0, c1)
+    np.testing.assert_allclose(
+        np.asarray(l0, np.float32), np.asarray(l1, np.float32),
+        atol=1e-2, rtol=1e-2)
+    # And a decode step on top of the cache.
+    nxt = jnp.asarray([[7]], jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(m0(nxt, 4, c0), np.float32),
+        np.asarray(m1(nxt, 4, c1), np.float32),
+        atol=1e-2, rtol=1e-2)
+
+
+def test_interleaved_fusion_same_logits_dense():
+    cfg = tiny_test_config(num_hidden_layers=2)
+    params = random_params(cfg, key=1, quantized=False)
+    fused = fuse_projections(params)
+    tok = jnp.asarray([[3, 1, 9]], jnp.int32)
+    m0 = Qwen3Model(params, cfg, max_seq_len=64, fuse=False)
+    m1 = Qwen3Model(fused, cfg, max_seq_len=64, fuse=False)
+    l0 = m0(tok, 0, m0.create_kv_cache())
+    l1 = m1(tok, 0, m1.create_kv_cache())
+    np.testing.assert_allclose(
+        np.asarray(l0, np.float32), np.asarray(l1, np.float32),
+        atol=1e-3, rtol=1e-3)

@@ -28,11 +28,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels import flash_attention
+from ..kernels.dispatch import resolve
+from ..kernels.fused_decode_attention import fused_decode_attention
 from ..kv.cache import BatchingKVCache, DenseKVCache, KVCache, bucket_for
 from ..ops.basics import swiglu
 from ..ops.moe import moe_forward
 from ..ops.norm import rms_norm
-from ..ops.quantize import QuantizedTensor, quantized_linear
+from ..ops.quantize import QuantizedTensor, permute_out_features, quantized_linear
 from ..ops.embedding import quantized_embedding_gather
 from ..ops.rope import apply_rope, rope_tables
 from ..ops.sampler import make_sampler
@@ -109,6 +111,11 @@ class AttentionParams:
     # set, wq/wk/wv are None and the forward pass issues ONE matmul kernel
     # for all three projections (see fuse_projections).
     wqkv: Any = None
+    # Fused-qkv column order: when True, out_features are interleaved per
+    # KV head as [q_{h*n_rep}..q_{(h+1)*n_rep-1}, k_h, v_h] blocks so the
+    # fused decode-attention kernel's BlockSpec slices each head's rows
+    # directly (kernels/fused_decode_attention.py).
+    qkv_interleaved: bool = static_field(default=False)
 
 
 @pytree_dataclass
@@ -218,13 +225,27 @@ def _qkv(
         dq = cfg.num_attention_heads * cfg.head_dim
         dkv = cfg.num_key_value_heads * cfg.head_dim
         qkv = _norm_linear(x, p.wqkv, norm_w, eps)
-        q = qkv[..., :dq].reshape(B, L, cfg.num_attention_heads, cfg.head_dim)
-        k = qkv[..., dq : dq + dkv].reshape(
-            B, L, cfg.num_key_value_heads, cfg.head_dim
-        )
-        v = qkv[..., dq + dkv :].reshape(
-            B, L, cfg.num_key_value_heads, cfg.head_dim
-        )
+        if p.qkv_interleaved:
+            hd = cfg.head_dim
+            nr = cfg.num_attention_heads // cfg.num_key_value_heads
+            rows = qkv.reshape(
+                B, L, cfg.num_key_value_heads, (nr + 2) * hd
+            )
+            q = rows[..., : nr * hd].reshape(
+                B, L, cfg.num_attention_heads, hd
+            )
+            k = rows[..., nr * hd : (nr + 1) * hd]
+            v = rows[..., (nr + 1) * hd :]
+        else:
+            q = qkv[..., :dq].reshape(
+                B, L, cfg.num_attention_heads, cfg.head_dim
+            )
+            k = qkv[..., dq : dq + dkv].reshape(
+                B, L, cfg.num_key_value_heads, cfg.head_dim
+            )
+            v = qkv[..., dq + dkv :].reshape(
+                B, L, cfg.num_key_value_heads, cfg.head_dim
+            )
     else:
         if norm_w is not None:
             x = rms_norm(x, norm_w, eps)
@@ -303,6 +324,36 @@ def _fuse_linears(ws: list) -> Any:
     return None  # mixed quantized/dense — keep separate
 
 
+def _qkv_interleave_perm(attn: AttentionParams) -> list | None:
+    """Column order interleaving the fused [q; k; v] out_features per KV
+    head: [q_{h*nr}..q_{(h+1)*nr-1}, k_h, v_h] blocks of (nr+2)*D columns.
+    Lets the fused decode-attention kernel slice each head's q rows, k row
+    and v row with one BlockSpec block (kernels/fused_decode_attention.py).
+    Head counts are inferred from the weights (D from the QK-norm shape),
+    so no config is needed at fuse time. Returns None if the shapes don't
+    describe a clean GQA head structure."""
+
+    def out_features(w):
+        if isinstance(w, QuantizedTensor):
+            return w.out_features
+        return w.shape[0]
+
+    d = attn.q_norm.shape[-1]
+    dq, dk, dv = (out_features(w) for w in (attn.wq, attn.wk, attn.wv))
+    if dk != dv or dq % d or dk % d:
+        return None
+    hq, hkv = dq // d, dk // d
+    if hkv == 0 or hq % hkv:
+        return None
+    nr = hq // hkv
+    idx: list[int] = []
+    for h in range(hkv):
+        idx.extend(range(h * nr * d, (h + 1) * nr * d))
+        idx.extend(range(dq + h * d, dq + (h + 1) * d))
+        idx.extend(range(dq + dk + h * d, dq + dk + (h + 1) * d))
+    return idx
+
+
 def fuse_projections(params: Qwen3Params) -> Qwen3Params:
     """Fuse per-layer [q;k;v] and [gate;up] projections into single weights.
 
@@ -321,8 +372,16 @@ def fuse_projections(params: Qwen3Params) -> Qwen3Params:
         if attn.wqkv is None:
             fused = _fuse_linears([attn.wq, attn.wk, attn.wv])
             if fused is not None:
+                perm = _qkv_interleave_perm(attn)
+                interleaved = perm is not None
+                if interleaved:
+                    if isinstance(fused, QuantizedTensor):
+                        fused = permute_out_features(fused, perm)
+                    else:
+                        fused = fused[jnp.asarray(perm)]
                 attn = dataclasses.replace(
-                    attn, wq=None, wk=None, wv=None, wqkv=fused
+                    attn, wq=None, wk=None, wv=None, wqkv=fused,
+                    qkv_interleaved=interleaved,
                 )
         mlp = layer.mlp
         if isinstance(mlp, MLPParams) and mlp.w_gate_up is None:
@@ -393,21 +452,56 @@ def forward_step(
     h = _embed(params, tokens)
     new_keys = keys
     new_values = values
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    # Fused decode-attention fast path: one Pallas call per layer replaces
+    # the qkv-split/QK-norm/RoPE/window-slice/flash chain (the per-layer
+    # XLA glue was ~30% of the decode step — see PERFORMANCE.md round 4).
+    # The RoPE row is gathered once here and shared by every layer.
+    use_fused_attn = (
+        L == 1
+        and isinstance(attn_impl, (str, type(None)))
+        and resolve(attn_impl) == "pallas"
+        and all(
+            layer.attn.wqkv is not None and layer.attn.qkv_interleaved
+            for layer in params.layers
+        )
+    )
+    if use_fused_attn:
+        cos_row = jnp.take(rope_tabs[0], offsets, axis=0)
+        sin_row = jnp.take(rope_tabs[1], offsets, axis=0)
+        n_rep = cfg.num_attention_heads // cfg.num_key_value_heads
     for i, layer in enumerate(params.layers):
-        q, k, v = _qkv(
-            cfg, layer.attn, h, positions, rope_tabs,
-            norm_w=layer.input_layernorm,
-        )
-        # Append at the per-row offset. One batched scatter per layer.
-        bidx = jnp.arange(B, dtype=jnp.int32)
-        new_keys = _scatter_rows(new_keys, i, bidx, offsets, k)
-        new_values = _scatter_rows(new_values, i, bidx, offsets, v)
-        k_win = jax.lax.slice_in_dim(new_keys[i], 0, window, axis=2)
-        v_win = jax.lax.slice_in_dim(new_values[i], 0, window, axis=2)
-        attn = flash_attention(
-            q, k_win, v_win, scale=scale, mask="causal", lens=lens, impl=attn_impl
-        )
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, L, -1)
+        if use_fused_attn:
+            qkv = _norm_linear(
+                h, layer.attn.wqkv, layer.input_layernorm, cfg.rms_norm_eps
+            )
+            qkv_rows = qkv.reshape(
+                B, cfg.num_key_value_heads, n_rep + 2, cfg.head_dim
+            )
+            attn_rows, k_row, v_row = fused_decode_attention(
+                qkv_rows, new_keys, new_values, offsets, cos_row, sin_row,
+                layer.attn.q_norm, layer.attn.k_norm,
+                layer_idx=i, scale=scale, eps=cfg.rms_norm_eps,
+                window=window,
+            )
+            new_keys = _scatter_rows(new_keys, i, bidx, offsets, k_row)
+            new_values = _scatter_rows(new_values, i, bidx, offsets, v_row)
+            attn = attn_rows.reshape(B, L, -1)
+        else:
+            q, k, v = _qkv(
+                cfg, layer.attn, h, positions, rope_tabs,
+                norm_w=layer.input_layernorm,
+            )
+            # Append at the per-row offset. One batched scatter per layer.
+            new_keys = _scatter_rows(new_keys, i, bidx, offsets, k)
+            new_values = _scatter_rows(new_values, i, bidx, offsets, v)
+            k_win = jax.lax.slice_in_dim(new_keys[i], 0, window, axis=2)
+            v_win = jax.lax.slice_in_dim(new_values[i], 0, window, axis=2)
+            attn = flash_attention(
+                q, k_win, v_win, scale=scale, mask="causal", lens=lens,
+                impl=attn_impl,
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, L, -1)
         h = _linear(attn, layer.attn.wo, residual=h)
         h = _mlp(cfg, layer.mlp, h, norm_w=layer.post_attention_layernorm,
                  residual=h)

@@ -371,6 +371,32 @@ def concat_out_features(qts: list[QuantizedTensor]) -> QuantizedTensor:
     )
 
 
+def permute_out_features(qt: QuantizedTensor, perm) -> QuantizedTensor:
+    """Reorder a 2-D quantized weight along out_features (N) — EXACT.
+
+    Quant groups run along K, so an N permutation is a pure gather of
+    packed lanes (magic_t) or rows (sg) plus the matching scale/bias
+    gather; every stored bit is preserved. Used by models/qwen3.py
+    fuse_projections to interleave the fused [q; k; v] columns per KV
+    head so the fused decode-attention kernel's BlockSpec slices each
+    head's rows directly."""
+    assert qt.packed.ndim == 2, "2-D weights only"
+    perm = jnp.asarray(perm, dtype=jnp.int32)
+    assert perm.shape == (qt.out_features,), perm.shape
+    axis = 1 if qt.layout == "magic_t" else 0
+    return QuantizedTensor(
+        packed=jnp.take(qt.packed, perm, axis=axis),
+        scales=jnp.take(qt.scales, perm, axis=axis),
+        biases=jnp.take(qt.biases, perm, axis=axis),
+        group_size=qt.group_size,
+        bits=qt.bits,
+        out_features=qt.out_features,
+        in_features=qt.in_features,
+        k_padded=qt.k_padded,
+        layout=qt.layout,
+    )
+
+
 def convert_layout(qt: QuantizedTensor, layout: str) -> QuantizedTensor:
     """Repack a 2-D QuantizedTensor into another storage layout (exact —
     the stored integer values and scales are preserved bit-for-bit)."""
