@@ -131,6 +131,77 @@ def test_fused_kernel_matches_unfused_chain(offs):
             ref_v[layer_idx, b, :, int(offs[b]), :])
 
 
+@pytest.mark.parametrize("offs", [[5, 60], [0, 33]])
+def test_fused_paged_kernel_matches_dense_fused(offs):
+    """The paged twin must agree with the dense fused kernel when the
+    pages hold exactly the slab contents (random page permutation)."""
+    from tiny_llm_tpu.kernels.fused_decode_attention import (
+        fused_paged_decode_attention,
+    )
+
+    B = len(offs)
+    Hkv, n_rep, D, S, ps = 2, 2, 128, 64, 16
+    maxp = S // ps
+    P = B * maxp + 1
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    qkv_rows = jax.random.normal(k1, (B, Hkv, n_rep + 2, D), jnp.bfloat16)
+    keys = jax.random.normal(k2, (1, B, Hkv, S, D), jnp.bfloat16)
+    values = jax.random.normal(k3, (1, B, Hkv, S, D), jnp.bfloat16)
+    qw = jax.random.normal(k4, (D,), jnp.float32) * 0.1 + 1.0
+    kw = jax.random.normal(k5, (D,), jnp.float32) * 0.1 + 1.0
+    cos_t, sin_t = rope_tables(D, S)
+    offsets = jnp.asarray(offs, jnp.int32)
+    cos_r = jnp.take(cos_t, offsets, axis=0)
+    sin_r = jnp.take(sin_t, offsets, axis=0)
+    scale, eps = D ** -0.5, 1e-6
+
+    # Scatter the slab into a permuted page pool.
+    perm = rng.permutation(P - 1) + 1  # page 0 reserved (trash)
+    bt = perm.reshape(B, maxp).astype(np.int32)
+    kp = np.zeros((1, P, Hkv, ps, D), np.float32)
+    vp = np.zeros((1, P, Hkv, ps, D), np.float32)
+    for b in range(B):
+        for j in range(maxp):
+            kp[0, bt[b, j]] = np.asarray(
+                keys[0, b, :, j * ps : (j + 1) * ps, :], np.float32)
+            vp[0, bt[b, j]] = np.asarray(
+                values[0, b, :, j * ps : (j + 1) * ps, :], np.float32)
+    kp = jnp.asarray(kp, jnp.bfloat16)
+    vp = jnp.asarray(vp, jnp.bfloat16)
+
+    a_d, kr_d, vr_d = fused_decode_attention(
+        qkv_rows, keys, values, offsets, cos_r, sin_r, qw, kw,
+        layer_idx=0, scale=scale, eps=eps, window=S, bs=ps, interpret=True)
+    a_p, kr_p, vr_p = fused_paged_decode_attention(
+        qkv_rows, kp, vp, jnp.asarray(bt), offsets, cos_r, sin_r, qw, kw,
+        layer_idx=0, scale=scale, eps=eps, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(a_p, np.float32), np.asarray(a_d, np.float32),
+        atol=1e-3, rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(kr_p), np.asarray(kr_d))
+    np.testing.assert_array_equal(np.asarray(vr_p), np.asarray(vr_d))
+
+
+def test_paged_model_step_fused_path_matches_xla(monkeypatch):
+    """forward_step_paged's fused decode path (forced via dispatch
+    override + interpret-mode kernels is not available on CPU, so this
+    exercises the path selection logic only when on TPU; on CPU it
+    checks the XLA path still round-trips after the interleave change)."""
+    cfg = tiny_test_config(num_hidden_layers=2)
+    params = random_params(cfg, key=2, quantized=True)
+    model = Qwen3Model(params, cfg, max_seq_len=64)
+    model.enable_paged_attention(num_pages=16, page_size=8)
+    cache = model.create_batching_kv_cache(max_active_requests=1)
+    tok = jnp.asarray([[1, 2, 3, 4, 5]], jnp.int32)
+    logits = model(tok, [0], cache, logits_to_keep=1)
+    nxt = jnp.argmax(logits[:, -1].astype(jnp.float32), -1)[None]
+    out = model(nxt.astype(jnp.int32), [5], cache, logits_to_keep=1)
+    assert out.shape == (1, 1, cfg.vocab_size)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
 def test_interleaved_fusion_same_logits_quantized():
     """fuse_projections now interleaves fused qkv columns per KV head;
     the XLA forward must produce identical logits to unfused params."""

@@ -180,6 +180,292 @@ def _fused_step_kernel(
         o_ref[0] = (acc / l_new).astype(o_ref.dtype)
 
 
+def _qkv_prep_kernel(
+    # scalar prefetch
+    offsets_ref,  # [B] i32 (unused in-body; keeps the cos gather uniform)
+    # inputs
+    qkv_ref,  # [1, Hkv, n_rep + 2, D] bf16
+    cos_ref,  # [B, half] f32
+    sin_ref,  # [B, half]
+    qw_ref,  # [1, D]
+    kw_ref,  # [1, D]
+    # outputs
+    q_ref,  # [1, Hkv, n_rep, D] — normed + roped (UNscaled, bf16)
+    ko_ref,  # [1, Hkv, 1, D]
+    vo_ref,  # [1, Hkv, 1, D]
+    *,
+    eps: float,
+):
+    b = pl.program_id(0)
+    n_rep = q_ref.shape[2]
+    half = q_ref.shape[3] // 2
+    cos = cos_ref[pl.ds(b, 1), :].reshape(1, 1, half)
+    sin = sin_ref[pl.ds(b, 1), :].reshape(1, 1, half)
+    q = qkv_ref[0, :, :n_rep, :].astype(jnp.float32)
+    q_ref[0] = _rms_rope_heads(q, qw_ref[0:1, :], cos, sin, eps)
+    k = qkv_ref[0, :, n_rep : n_rep + 1, :].astype(jnp.float32)
+    ko_ref[0] = _rms_rope_heads(k, kw_ref[0:1, :], cos, sin, eps)
+    vo_ref[0] = qkv_ref[0, :, n_rep + 1 : n_rep + 2, :]
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_qkv_prep(
+    qkv_rows: jax.Array,  # [B, Hkv, n_rep + 2, D] bf16
+    offsets: jax.Array,  # [B] i32
+    cos_row: jax.Array,  # [B, D // 2] f32
+    sin_row: jax.Array,
+    q_norm_w: jax.Array,  # [D]
+    k_norm_w: jax.Array,  # [D]
+    *,
+    eps: float,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """qkv split + QK-RMSNorm + RoPE in ONE launch (no attention).
+
+    The paged serving path uses this 3-output prep kernel followed by the
+    in-place page scatter and the unmodified pages-walk attention, so the
+    pool keeps the scatter-then-read order of the unfused path. A variant
+    that read the pool BEFORE the scatter (attention fused in, current
+    row folded in-register — the dense path's schedule) made XLA resolve
+    the war hazard on the scan-carried pool with FOUR whole-pool copies
+    per decode step (~4.2 ms measured); buffer order matters more than
+    launch count here. Returns (q [B, Hkv, n_rep, D] normed+roped
+    UNscaled, k_row, v_row [B, Hkv, 1, D]) — exactly the unfused chain's
+    values at the same bf16 rounding points."""
+    B, Hkv, rows, D = qkv_rows.shape
+    n_rep = rows - 2
+    half = D // 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, rows, D), lambda b, o: (b, 0, 0, 0)),
+            pl.BlockSpec((B, half), lambda b, o: (0, 0)),
+            pl.BlockSpec((B, half), lambda b, o: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, o: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, o: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hkv, n_rep, D), lambda b, o: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, 1, D), lambda b, o: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, 1, D), lambda b, o: (b, 0, 0, 0)),
+        ],
+    )
+    dt = qkv_rows.dtype
+    out = pl.pallas_call(
+        functools.partial(_qkv_prep_kernel, eps=eps),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, n_rep, D), dt),
+            jax.ShapeDtypeStruct((B, Hkv, 1, D), dt),
+            jax.ShapeDtypeStruct((B, Hkv, 1, D), dt),
+        ],
+        interpret=interpret,
+    )(
+        offsets.astype(jnp.int32),
+        qkv_rows,
+        cos_row.astype(jnp.float32),
+        sin_row.astype(jnp.float32),
+        q_norm_w.reshape(1, D),
+        k_norm_w.reshape(1, D),
+    )
+    return out[0], out[1], out[2]
+
+
+def _fused_paged_step_kernel(
+    # scalar prefetch
+    bt_ref,  # [B, maxp] i32 — block table, -1 padded
+    offsets_ref,  # [B] i32 — context length BEFORE this token
+    # inputs
+    qkv_ref,  # [1, Hkv, n_rep + 2, D] bf16
+    cos_ref,  # [B, half] f32
+    sin_ref,  # [B, half]
+    qw_ref,  # [1, D]
+    kw_ref,  # [1, D]
+    k_ref,  # [1, Hkv, ps, D] — ONE WHOLE PAGE, all KV heads
+    v_ref,
+    # outputs
+    o_ref,  # [1, Hkv, n_rep, D]
+    ko_ref,  # [1, Hkv, 1, D]
+    vo_ref,  # [1, Hkv, 1, D]
+    # scratch
+    q_s,  # [Hkv, n_rep, D] bf16 — pre-scaled queries, staged at i == 0
+    m_ref,  # [Hkv, n_rep, 128] f32
+    l_ref,
+    acc_ref,  # [Hkv, n_rep, D] f32
+    *,
+    ps: int,
+    scale: float,
+    eps: float,
+):
+    """Paged twin of _fused_step_kernel: the page walk follows
+    _paged_decode_page_kernel (whole-page [Hkv, ps, D] blocks via
+    block-table indirection in the index_map — the scan-safe schedule),
+    with the same qkv prep prologue and current-row epilogue. Unlike the
+    dense kernel (1-2 live tiles at serving windows), a batched page walk
+    runs ~5+ live steps per row, so the query is staged in VMEM scratch
+    at i == 0 instead of recomputed per step (a per-tile norm+rope
+    recompute measured 11.7 vs 8.0 ms/step on the serving burst)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    Hkv, n_rep, D = acc_ref.shape[0], acc_ref.shape[1], acc_ref.shape[2]
+    half = D // 2
+    off = offsets_ref[b]  # pages hold [0, off); current row folded below
+    cos = cos_ref[pl.ds(b, 1), :].reshape(1, 1, half)
+    sin = sin_ref[pl.ds(b, 1), :].reshape(1, 1, half)
+
+    def prep_kv():
+        k = qkv_ref[0, :, n_rep : n_rep + 1, :].astype(jnp.float32)
+        k = _rms_rope_heads(k, kw_ref[0:1, :], cos, sin, eps)
+        return k, qkv_ref[0, :, n_rep + 1 : n_rep + 2, :]
+
+    @pl.when(i == 0)
+    def _():
+        q = qkv_ref[0, :, :n_rep, :].astype(jnp.float32)
+        q = _rms_rope_heads(q, qw_ref[0:1, :], cos, sin, eps)
+        q_s[:] = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        k, v = prep_kv()
+        ko_ref[0] = k
+        vo_ref[0] = v
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i * ps < off)
+    def _():
+        q = q_s[:]
+        sc = jax.lax.dot_general(
+            q, k_ref[0],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [Hkv, R, ps]
+        k_pos = i * ps + jax.lax.broadcasted_iota(jnp.int32, sc.shape, 2)
+        sc = jnp.where(k_pos < off, sc, NEG_INF)
+        m_prev = m_ref[:, :, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(sc, axis=2, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(sc - jnp.maximum(m_new, NEG_INF / 2))
+        l_new = l_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_ref[0],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        k, v = prep_kv()
+        q = q_s[:].astype(jnp.float32)
+        s_cur = jnp.sum(q * k.astype(jnp.float32), axis=2, keepdims=True)
+        m_prev = m_ref[:, :, :1]
+        m_new = jnp.maximum(m_prev, s_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s_cur - m_new)
+        l_new = l_ref[:, :, :1] * alpha + p
+        p_b = p.astype(jnp.bfloat16).astype(jnp.float32)
+        acc = acc_ref[:] * alpha + p_b * v.astype(jnp.float32)
+        o_ref[0] = (acc / l_new).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layer_idx", "scale", "eps", "interpret"),
+)
+def fused_paged_decode_attention(
+    qkv_rows: jax.Array,  # [B, Hkv, n_rep + 2, D] bf16
+    key_pages: jax.Array,  # [num_layers, P, Hkv, ps, D]
+    value_pages: jax.Array,
+    block_table: jax.Array,  # [B, maxp] i32, -1 padded
+    offsets: jax.Array,  # [B] i32 — context length before this token
+    cos_row: jax.Array,  # [B, D // 2] f32
+    sin_row: jax.Array,
+    q_norm_w: jax.Array,  # [D]
+    k_norm_w: jax.Array,  # [D]
+    *,
+    layer_idx: int,
+    scale: float,
+    eps: float,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One layer's decode attention over the paged pool from the fused
+    qkv row. Returns (attn [B, Hkv, n_rep, D], k_row, v_row [B, Hkv, 1,
+    D]); the caller scatters k_row/v_row into the target page slot."""
+    B, Hkv, rows, D = qkv_rows.shape
+    n_rep = rows - 2
+    Lyr, P, _, ps, _ = key_pages.shape
+    maxp = block_table.shape[1]
+    half = D // 2
+
+    def qkv_map(b, i, bt_ref, off_ref):
+        return (b, 0, 0, 0)
+
+    def rope_map(b, i, bt_ref, off_ref):
+        return (0, 0)
+
+    def kv_map(b, i, bt_ref, off_ref):
+        # Walk live pages only: clamp at the last page holding [0, off);
+        # dead/padded slots re-reference the previous block (DMA elided).
+        last = jnp.maximum((off_ref[b] + ps - 1) // ps - 1, 0)
+        page = bt_ref[b, jnp.minimum(i, last)]
+        return (layer_idx * P + jnp.maximum(page, 0), 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, maxp),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, rows, D), qkv_map),
+            pl.BlockSpec((B, half), rope_map),
+            pl.BlockSpec((B, half), rope_map),
+            pl.BlockSpec((1, D), rope_map),
+            pl.BlockSpec((1, D), rope_map),
+            pl.BlockSpec((1, Hkv, ps, D), kv_map),
+            pl.BlockSpec((1, Hkv, ps, D), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hkv, n_rep, D), lambda b, i, bt, o: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, 1, D), lambda b, i, bt, o: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, 1, D), lambda b, i, bt, o: (b, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, n_rep, D), jnp.bfloat16),
+            pltpu.VMEM((Hkv, n_rep, 128), jnp.float32),
+            pltpu.VMEM((Hkv, n_rep, 128), jnp.float32),
+            pltpu.VMEM((Hkv, n_rep, D), jnp.float32),
+        ],
+    )
+    dt = qkv_rows.dtype
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_paged_step_kernel, ps=ps, scale=scale, eps=eps
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, n_rep, D), dt),
+            jax.ShapeDtypeStruct((B, Hkv, 1, D), dt),
+            jax.ShapeDtypeStruct((B, Hkv, 1, D), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * n_rep * maxp * ps * D,
+            bytes_accessed=2 * B * Hkv * maxp * ps * D * 2,
+            transcendentals=B * Hkv * n_rep * maxp * ps,
+        ),
+        interpret=interpret,
+    )(
+        block_table.astype(jnp.int32),
+        offsets.astype(jnp.int32),
+        qkv_rows,
+        cos_row.astype(jnp.float32),
+        sin_row.astype(jnp.float32),
+        q_norm_w.reshape(1, D),
+        k_norm_w.reshape(1, D),
+        key_pages.reshape(Lyr * P, Hkv, ps, D),
+        value_pages.reshape(Lyr * P, Hkv, ps, D),
+    )
+    return out[0], out[1], out[2]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("layer_idx", "scale", "eps", "window", "bs", "interpret"),

@@ -29,7 +29,10 @@ import numpy as np
 
 from ..kernels import flash_attention
 from ..kernels.dispatch import resolve
-from ..kernels.fused_decode_attention import fused_decode_attention
+from ..kernels.fused_decode_attention import (
+    fused_decode_attention,
+    fused_qkv_prep,
+)
 from ..kv.cache import BatchingKVCache, DenseKVCache, KVCache, bucket_for
 from ..ops.basics import swiglu
 from ..ops.moe import moe_forward
@@ -457,10 +460,13 @@ def forward_step(
     # the qkv-split/QK-norm/RoPE/window-slice/flash chain (the per-layer
     # XLA glue was ~30% of the decode step — see PERFORMANCE.md round 4).
     # The RoPE row is gathered once here and shared by every layer.
+    import os
+
     use_fused_attn = (
         L == 1
         and isinstance(attn_impl, (str, type(None)))
         and resolve(attn_impl) == "pallas"
+        and os.environ.get("TLT_FUSED_ATTN", "1") != "0"  # A/B knob
         and all(
             layer.attn.wqkv is not None and layer.attn.qkv_interleaved
             for layer in params.layers
@@ -571,7 +577,78 @@ def forward_step_paged(
     scale = cfg.head_dim**-0.5
     h = _embed(params, tokens)
     kp, vp = key_pages, value_pages
+    # Fused decode-attention fast path (decode steps only): one Pallas
+    # call per layer for qkv split + QK-norm + RoPE + the whole-page
+    # walk — same glue elimination as the dense path, scan-safe
+    # (BlockSpec-only, no manual DMA). See kernels/fused_decode_attention.
+    import os
+
+    use_fused_attn = (
+        L == 1
+        and strategy_update is None
+        and not local_attention
+        and not split_attention
+        and isinstance(attn_impl, (str, type(None)))
+        and resolve(attn_impl) == "pallas"
+        and os.environ.get("TLT_FUSED_ATTN", "1") != "0"  # A/B knob
+        and all(
+            layer.attn.wqkv is not None and layer.attn.qkv_interleaved
+            for layer in params.layers
+        )
+    )
+    if use_fused_attn:
+        cos_row = jnp.take(rope_tabs[0], offsets, axis=0)
+        sin_row = jnp.take(rope_tabs[1], offsets, axis=0)
+        n_rep = cfg.num_attention_heads // cfg.num_key_value_heads
     for i, layer in enumerate(params.layers):
+        if use_fused_attn:
+            # prep kernel -> in-place page scatter -> pages-walk
+            # attention: one launch replaces the per-layer XLA glue
+            # (qkv slices, QK-norm, RoPE, head transposes) while KEEPING
+            # the unfused path's scatter-then-read pool order — fusing
+            # the attention too (reading the pool before the scatter)
+            # made XLA copy the whole scan-carried pool 4x per step.
+            qkv = _norm_linear(
+                h, layer.attn.wqkv, layer.input_layernorm, cfg.rms_norm_eps
+            )
+            qkv_rows = qkv.reshape(
+                B, cfg.num_key_value_heads, n_rep + 2, cfg.head_dim
+            )
+            q_rows, k_row, v_row = fused_qkv_prep(
+                qkv_rows, offsets, cos_row, sin_row,
+                layer.attn.q_norm, layer.attn.k_norm,
+                eps=cfg.rms_norm_eps,
+            )
+            # Per-row dynamic_update_slice instead of the advanced-index
+            # scatter: XLA keeps DUS chains on a donated scan carry
+            # in-place even when a Pallas call also reads the buffer,
+            # while scatter + custom-call consumers forced whole-pool
+            # copies (the _scatter_rows lesson, same hazard class).
+            lyr = jnp.int32(i)
+            zero = jnp.int32(0)
+            for b in range(B):
+                kp = jax.lax.dynamic_update_slice(
+                    kp, k_row[b][None, None, :, :, :].astype(kp.dtype),
+                    (lyr, page_idx[b, 0], zero, slot[b, 0], zero))
+                vp = jax.lax.dynamic_update_slice(
+                    vp, v_row[b][None, None, :, :, :].astype(vp.dtype),
+                    (lyr, page_idx[b, 0], zero, slot[b, 0], zero))
+            q4 = q_rows.reshape(B, cfg.num_attention_heads, L, cfg.head_dim)
+            # Whole pool + layer folded into the block table: kp[i]/vp[i]
+            # layer slices materialized ~17 MB x2 per layer (~2.4 ms/step
+            # of slice+staging in the trace); the flat reshape is a free
+            # bitcast of the donated carry. Dead -1 slots shift to a
+    	    # wrong-but-in-bounds page; they are only dereferenced for
+            # idle rows whose outputs are discarded.
+            attn = paged_attention(
+                q4, kp[i], vp[i], block_table, lens, scale=scale,
+                mask="causal", impl=attn_impl,
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, L, -1)
+            h = _linear(attn, layer.attn.wo, residual=h)
+            h = _mlp(cfg, layer.mlp, h,
+                     norm_w=layer.post_attention_layernorm, residual=h)
+            continue
         q, k, v = _qkv(
             cfg, layer.attn, h, positions, rope_tabs,
             norm_w=layer.input_layernorm,
