@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_CEILING = {2048: 195.3, 8192: 96.7, 32768: 30.3, 65536: 16.1,
-                    131072: 7.6}
+                    131072: 7.6, 300000: 2.93}
 
 
 def measure(impl: str, S: int, iters: int = 10, chain: int = 36) -> float:
@@ -53,8 +53,11 @@ def measure(impl: str, S: int, iters: int = 10, chain: int = 36) -> float:
 
 def main() -> None:
     p = argparse.ArgumentParser()
+    # 300,000 is the reference's measured ceiling row
+    # (ref: benchmark_results/m4-pro-qwen3-4b-long-context-mlx-0.32.0.json
+    # results[5]: 9.49 ms/layer = 2.93 tok/s).
     p.add_argument("--contexts", type=int, nargs="*",
-                   default=[2048, 8192, 32768, 65536])
+                   default=[2048, 8192, 32768, 65536, 131072, 300000])
     p.add_argument("--impl", default=None, choices=["xla", "pallas"])
     p.add_argument("--layers", type=int, default=36)
     args = p.parse_args()
