@@ -235,6 +235,50 @@ def smoke_fused_decode_attention():
     _close(v_row.reshape(B, Hkv, 1, D), v, atol=1e-6)
 
 
+def smoke_fused_dense_model_parity():
+    """Dense decode fast path (one-kernel fused attention) vs the
+    unfused path: same greedy tokens over a dense-cache decode."""
+    import os
+
+    from tiny_llm_tpu.models import QWEN3_CONFIGS, Qwen3Model, synthetic_quantized_params
+
+    cfg = QWEN3_CONFIGS["qwen3-0.6b"]
+    rng = np.random.default_rng(12)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 24)), jnp.int32)
+    results = {}
+    prev = os.environ.get("TLT_FUSED_ATTN")
+    try:
+        for arm, env in (("fused", "1"), ("unfused", "0")):
+            os.environ["TLT_FUSED_ATTN"] = env
+            model = Qwen3Model(
+                synthetic_quantized_params(cfg, key=5), cfg, max_seq_len=256
+            )
+            cache = model.create_batching_kv_cache(max_active_requests=2)
+            logits = model(prompt, [0, 0], cache, logits_to_keep=1)
+            tok = np.asarray(
+                jax.device_get(
+                    jnp.argmax(logits[:, -1].astype(jnp.float32), -1)
+                ),
+                np.int32,
+            )
+            toks = [tok.copy()]
+            for i in range(8):
+                logits = model(tok[:, None], [24 + i] * 2, cache,
+                               logits_to_keep=1)
+                lp = logits[:, -1].astype(jnp.float32)
+                tok = np.asarray(jax.device_get(jnp.argmax(lp, -1)), np.int32)
+                toks.append(tok.copy())
+            results[arm] = (np.stack(toks), np.asarray(jax.device_get(lp)))
+    finally:
+        if prev is None:
+            os.environ.pop("TLT_FUSED_ATTN", None)
+        else:
+            os.environ["TLT_FUSED_ATTN"] = prev
+    assert np.array_equal(results["fused"][0], results["unfused"][0]), (
+        results["fused"][0], results["unfused"][0])
+    _close(results["fused"][1], results["unfused"][1], atol=8e-2, rtol=8e-2)
+
+
 def smoke_fused_paged_model_parity():
     """Paged decode fast path (prep kernel + DUS + whole-pool walk) vs
     the unfused path on a small model: same greedy tokens, close logits.
@@ -303,6 +347,7 @@ SMOKES = [
     ("moe_gqmm", smoke_moe_gather_and_walk),
     ("split_prefill", smoke_split_prefill),
     ("fused_decode_attention", smoke_fused_decode_attention),
+    ("fused_dense_model_parity", smoke_fused_dense_model_parity),
     ("fused_paged_model_parity", smoke_fused_paged_model_parity),
     ("axpby", smoke_axpby),
 ]

@@ -282,7 +282,7 @@ def _fused_paged_step_kernel(
     sin_ref,  # [B, half]
     qw_ref,  # [1, D]
     kw_ref,  # [1, D]
-    k_ref,  # [1, Hkv, ps, D] — ONE WHOLE PAGE, all KV heads
+    k_ref,  # [1, 1, Hkv, ps, D] — ONE WHOLE PAGE, all KV heads
     v_ref,
     # outputs
     o_ref,  # [1, Hkv, n_rep, D]
@@ -335,7 +335,7 @@ def _fused_paged_step_kernel(
     def _():
         q = q_s[:]
         sc = jax.lax.dot_general(
-            q, k_ref[0],
+            q, k_ref[0, 0],
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [Hkv, R, ps]
@@ -347,7 +347,7 @@ def _fused_paged_step_kernel(
         p = jnp.exp(sc - jnp.maximum(m_new, NEG_INF / 2))
         l_new = l_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_ref[0],
+            p.astype(jnp.bfloat16), v_ref[0, 0],
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
@@ -407,9 +407,12 @@ def fused_paged_decode_attention(
     def kv_map(b, i, bt_ref, off_ref):
         # Walk live pages only: clamp at the last page holding [0, off);
         # dead/padded slots re-reference the previous block (DMA elided).
+        # The pool rides UNRESHAPED (5-D, layer as its own block axis): a
+        # bitcast reshape of the donated scan carry is what broke
+        # in-place aliasing in the earlier whole-pool experiment.
         last = jnp.maximum((off_ref[b] + ps - 1) // ps - 1, 0)
         page = bt_ref[b, jnp.minimum(i, last)]
-        return (layer_idx * P + jnp.maximum(page, 0), 0, 0, 0)
+        return (layer_idx, jnp.maximum(page, 0), 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -420,8 +423,8 @@ def fused_paged_decode_attention(
             pl.BlockSpec((B, half), rope_map),
             pl.BlockSpec((1, D), rope_map),
             pl.BlockSpec((1, D), rope_map),
-            pl.BlockSpec((1, Hkv, ps, D), kv_map),
-            pl.BlockSpec((1, Hkv, ps, D), kv_map),
+            pl.BlockSpec((1, 1, Hkv, ps, D), kv_map),
+            pl.BlockSpec((1, 1, Hkv, ps, D), kv_map),
         ],
         out_specs=[
             pl.BlockSpec((1, Hkv, n_rep, D), lambda b, i, bt, o: (b, 0, 0, 0)),
@@ -460,8 +463,8 @@ def fused_paged_decode_attention(
         sin_row.astype(jnp.float32),
         q_norm_w.reshape(1, D),
         k_norm_w.reshape(1, D),
-        key_pages.reshape(Lyr * P, Hkv, ps, D),
-        value_pages.reshape(Lyr * P, Hkv, ps, D),
+        key_pages,
+        value_pages,
     )
     return out[0], out[1], out[2]
 

@@ -614,6 +614,42 @@ def forward_step_paged(
             qkv_rows = qkv.reshape(
                 B, cfg.num_key_value_heads, n_rep + 2, cfg.head_dim
             )
+            if os.environ.get("TLT_PAGED_FUSED_ONE", "0") == "1":
+                # KNOWN-BAD experiment, kept for re-testing on toolchain
+                # updates: one-kernel variant (attention fused in, pool
+                # read via 5-D BlockSpec before the DUS writes). 20%
+                # faster than the prep+DUS design (5.69 vs 7.07 ms/step)
+                # and the kernel passes hardware-vs-interpret checks in
+                # isolation at the exact in-model shapes (B=2, padded
+                # table, maxp=16) — but IN-MODEL it corrupts row 0's
+                # logits from the first decode step (2026-08-21). The
+                # read-before-write order on the donated pool is the
+                # suspected miscompile surface; see PERFORMANCE.md
+                # round-4 buffer-order notes.
+                from ..kernels.fused_decode_attention import (
+                    fused_paged_decode_attention,
+                )
+
+                attn_rows, k_row, v_row = fused_paged_decode_attention(
+                    qkv_rows, kp, vp, block_table, offsets,
+                    cos_row, sin_row,
+                    layer.attn.q_norm, layer.attn.k_norm,
+                    layer_idx=i, scale=scale, eps=cfg.rms_norm_eps,
+                )
+                lyr = jnp.int32(i)
+                zero = jnp.int32(0)
+                for b in range(B):
+                    kp = jax.lax.dynamic_update_slice(
+                        kp, k_row[b][None, None].astype(kp.dtype),
+                        (lyr, page_idx[b, 0], zero, slot[b, 0], zero))
+                    vp = jax.lax.dynamic_update_slice(
+                        vp, v_row[b][None, None].astype(vp.dtype),
+                        (lyr, page_idx[b, 0], zero, slot[b, 0], zero))
+                attn = attn_rows.reshape(B, L, -1)
+                h = _linear(attn, layer.attn.wo, residual=h)
+                h = _mlp(cfg, layer.mlp, h,
+                         norm_w=layer.post_attention_layernorm, residual=h)
+                continue
             q_rows, k_row, v_row = fused_qkv_prep(
                 qkv_rows, offsets, cos_row, sin_row,
                 layer.attn.q_norm, layer.attn.k_norm,
