@@ -175,8 +175,8 @@ def test_fused_paged_kernel_matches_dense_fused(offs):
         qkv_rows, keys, values, offsets, cos_r, sin_r, qw, kw,
         layer_idx=0, scale=scale, eps=eps, window=S, bs=ps, interpret=True)
     a_p, kr_p, vr_p = fused_paged_decode_attention(
-        qkv_rows, kp, vp, jnp.asarray(bt), offsets, cos_r, sin_r, qw, kw,
-        layer_idx=0, scale=scale, eps=eps, interpret=True)
+        qkv_rows, kp[0], vp[0], jnp.asarray(bt), offsets, cos_r, sin_r,
+        qw, kw, scale=scale, eps=eps, interpret=True)
     np.testing.assert_allclose(
         np.asarray(a_p, np.float32), np.asarray(a_d, np.float32),
         atol=1e-3, rtol=1e-3)

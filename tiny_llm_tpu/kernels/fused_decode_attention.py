@@ -282,7 +282,7 @@ def _fused_paged_step_kernel(
     sin_ref,  # [B, half]
     qw_ref,  # [1, D]
     kw_ref,  # [1, D]
-    k_ref,  # [1, 1, Hkv, ps, D] — ONE WHOLE PAGE, all KV heads
+    k_ref,  # [1, Hkv, ps, D] — ONE WHOLE PAGE, all KV heads
     v_ref,
     # outputs
     o_ref,  # [1, Hkv, n_rep, D]
@@ -335,7 +335,7 @@ def _fused_paged_step_kernel(
     def _():
         q = q_s[:]
         sc = jax.lax.dot_general(
-            q, k_ref[0, 0],
+            q, k_ref[0],
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [Hkv, R, ps]
@@ -347,7 +347,7 @@ def _fused_paged_step_kernel(
         p = jnp.exp(sc - jnp.maximum(m_new, NEG_INF / 2))
         l_new = l_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_ref[0, 0],
+            p.astype(jnp.bfloat16), v_ref[0],
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
@@ -371,11 +371,11 @@ def _fused_paged_step_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layer_idx", "scale", "eps", "interpret"),
+    static_argnames=("scale", "eps", "interpret"),
 )
 def fused_paged_decode_attention(
     qkv_rows: jax.Array,  # [B, Hkv, n_rep + 2, D] bf16
-    key_pages: jax.Array,  # [num_layers, P, Hkv, ps, D]
+    key_pages: jax.Array,  # [P, Hkv, ps, D] — ONE layer's page buffer
     value_pages: jax.Array,
     block_table: jax.Array,  # [B, maxp] i32, -1 padded
     offsets: jax.Array,  # [B] i32 — context length before this token
@@ -384,7 +384,6 @@ def fused_paged_decode_attention(
     q_norm_w: jax.Array,  # [D]
     k_norm_w: jax.Array,  # [D]
     *,
-    layer_idx: int,
     scale: float,
     eps: float,
     interpret: bool = False,
@@ -394,7 +393,7 @@ def fused_paged_decode_attention(
     D]); the caller scatters k_row/v_row into the target page slot."""
     B, Hkv, rows, D = qkv_rows.shape
     n_rep = rows - 2
-    Lyr, P, _, ps, _ = key_pages.shape
+    P, _, ps, _ = key_pages.shape
     maxp = block_table.shape[1]
     half = D // 2
 
@@ -407,12 +406,12 @@ def fused_paged_decode_attention(
     def kv_map(b, i, bt_ref, off_ref):
         # Walk live pages only: clamp at the last page holding [0, off);
         # dead/padded slots re-reference the previous block (DMA elided).
-        # The pool rides UNRESHAPED (5-D, layer as its own block axis): a
-        # bitcast reshape of the donated scan carry is what broke
-        # in-place aliasing in the earlier whole-pool experiment.
+        # The operand is one layer's OWN buffer (the pool is a per-layer
+        # tuple, kv/paged.py) — no layer slicing, no stacked-pool
+        # aliasing hazards.
         last = jnp.maximum((off_ref[b] + ps - 1) // ps - 1, 0)
         page = bt_ref[b, jnp.minimum(i, last)]
-        return (layer_idx, jnp.maximum(page, 0), 0, 0, 0)
+        return (jnp.maximum(page, 0), 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -423,8 +422,8 @@ def fused_paged_decode_attention(
             pl.BlockSpec((B, half), rope_map),
             pl.BlockSpec((1, D), rope_map),
             pl.BlockSpec((1, D), rope_map),
-            pl.BlockSpec((1, 1, Hkv, ps, D), kv_map),
-            pl.BlockSpec((1, 1, Hkv, ps, D), kv_map),
+            pl.BlockSpec((1, Hkv, ps, D), kv_map),
+            pl.BlockSpec((1, Hkv, ps, D), kv_map),
         ],
         out_specs=[
             pl.BlockSpec((1, Hkv, n_rep, D), lambda b, i, bt, o: (b, 0, 0, 0)),

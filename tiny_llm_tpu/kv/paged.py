@@ -56,9 +56,23 @@ class PagePool:
         self.page_size = page_size
         self.head_dim = head_dim
         self.dtype = dtype
-        shape = (num_layers, num_pages, num_kv_heads, page_size, head_dim)
-        self.key_pages = jnp.zeros(shape, dtype=dtype)
-        self.value_pages = jnp.zeros(shape, dtype=dtype)
+        # PER-LAYER buffers (a tuple pytree), NOT one stacked
+        # [L, P, H, ps, D] array: every jitted step updates layer i's
+        # pages in place AND feeds them to that layer's attention kernel.
+        # With a stacked array each layer's read needs a materialized
+        # kp[i] slice (XLA cannot pass a sub-buffer to a custom call) —
+        # at a 32K-context pool that is 110 MB x 72 slices = ~11 ms of
+        # pure copies per decode step (round-4 trace). Independent
+        # per-layer buffers make the slice free, keep the in-place DUS
+        # chain per buffer, and remove cross-layer false aliasing.
+        # Indexing semantics are unchanged (key_pages[i] is layer i).
+        shape = (num_pages, num_kv_heads, page_size, head_dim)
+        self.key_pages = tuple(
+            jnp.zeros(shape, dtype=dtype) for _ in range(num_layers)
+        )
+        self.value_pages = tuple(
+            jnp.zeros(shape, dtype=dtype) for _ in range(num_layers)
+        )
         # Page 0 is the TRASH page: -1 block-table entries clamp to it, so
         # idle batch slots scatter their garbage writes there instead of
         # into a live page. Never allocated.
@@ -232,10 +246,10 @@ class PagePool:
             return
         self._free = list(range(self.num_pages - 1, 0, -1))
 
-    def update_tensors(self, key_pages: jax.Array, value_pages: jax.Array) -> None:
-        """Install post-step (donated) pool buffers."""
-        self.key_pages = key_pages
-        self.value_pages = value_pages
+    def update_tensors(self, key_pages, value_pages) -> None:
+        """Install post-step (donated) per-layer pool buffers."""
+        self.key_pages = tuple(key_pages)
+        self.value_pages = tuple(value_pages)
 
     def materialize(self) -> None:
         jax.block_until_ready((self.key_pages, self.value_pages))

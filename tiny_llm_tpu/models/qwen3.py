@@ -523,15 +523,15 @@ def forward_step_paged(
     rope_tabs: tuple[jax.Array, jax.Array],
     tokens: jax.Array,  # [B, L]
     offsets: jax.Array,  # [B] int32
-    key_pages: jax.Array,  # [num_layers, P, H_kv, ps, D] (donated)
-    value_pages: jax.Array,  # (donated)
+    key_pages,  # tuple of per-layer [P, H_kv, ps, D] buffers (donated)
+    value_pages,  # (donated)
     block_table: jax.Array,  # [B, max_pages] int32, -1 padded
     *,
     logits_to_keep: int | None,
     attn_impl: str | None = None,
     local_attention: bool = False,
     split_attention: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, tuple, tuple]:
     """One model step over the paged KV pool (week-3 serving path).
 
     Scatters this chunk's K/V into the pages named by the block table,
@@ -558,7 +558,7 @@ def forward_step_paged(
     from ..kernels.split_prefill import split_paged_prefill
 
     B, L = tokens.shape
-    ps = key_pages.shape[3]
+    ps = key_pages[0].shape[2]
     positions = offsets[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
     lens = offsets + L
     # Physical target of every appended token. -1 (idle slot) entries stay
@@ -576,7 +576,11 @@ def forward_step_paged(
 
     scale = cfg.head_dim**-0.5
     h = _embed(params, tokens)
-    kp, vp = key_pages, value_pages
+    # The pool is a TUPLE of independent per-layer buffers (kv/paged.py):
+    # layer i's write and read touch only buffer i, so the in-place DUS
+    # chain and the attention kernel operand never alias across layers
+    # and no kp[i] slice is ever materialized.
+    kp, vp = list(key_pages), list(value_pages)
     # Fused decode-attention fast path (decode steps only): one Pallas
     # call per layer for qkv split + QK-norm + RoPE + the whole-page
     # walk — same glue elimination as the dense path, scan-safe
@@ -615,36 +619,30 @@ def forward_step_paged(
                 B, cfg.num_key_value_heads, n_rep + 2, cfg.head_dim
             )
             if os.environ.get("TLT_PAGED_FUSED_ONE", "0") == "1":
-                # KNOWN-BAD experiment, kept for re-testing on toolchain
-                # updates: one-kernel variant (attention fused in, pool
-                # read via 5-D BlockSpec before the DUS writes). 20%
-                # faster than the prep+DUS design (5.69 vs 7.07 ms/step)
-                # and the kernel passes hardware-vs-interpret checks in
-                # isolation at the exact in-model shapes (B=2, padded
-                # table, maxp=16) — but IN-MODEL it corrupts row 0's
-                # logits from the first decode step (2026-08-21). The
-                # read-before-write order on the donated pool is the
-                # suspected miscompile surface; see PERFORMANCE.md
-                # round-4 buffer-order notes.
+                # One-kernel experiment (attention fused in, this
+                # layer's buffer read before the DUS writes). With the
+                # STACKED pool this corrupted row 0 in-model despite
+                # passing every isolated check (2026-08-21, see
+                # PERFORMANCE.md round-4 buffer-order notes); re-test
+                # under the per-layer pool before promoting.
                 from ..kernels.fused_decode_attention import (
                     fused_paged_decode_attention,
                 )
 
                 attn_rows, k_row, v_row = fused_paged_decode_attention(
-                    qkv_rows, kp, vp, block_table, offsets,
+                    qkv_rows, kp[i], vp[i], block_table, offsets,
                     cos_row, sin_row,
                     layer.attn.q_norm, layer.attn.k_norm,
-                    layer_idx=i, scale=scale, eps=cfg.rms_norm_eps,
+                    scale=scale, eps=cfg.rms_norm_eps,
                 )
-                lyr = jnp.int32(i)
                 zero = jnp.int32(0)
                 for b in range(B):
-                    kp = jax.lax.dynamic_update_slice(
-                        kp, k_row[b][None, None].astype(kp.dtype),
-                        (lyr, page_idx[b, 0], zero, slot[b, 0], zero))
-                    vp = jax.lax.dynamic_update_slice(
-                        vp, v_row[b][None, None].astype(vp.dtype),
-                        (lyr, page_idx[b, 0], zero, slot[b, 0], zero))
+                    kp[i] = jax.lax.dynamic_update_slice(
+                        kp[i], k_row[b][None].astype(kp[i].dtype),
+                        (page_idx[b, 0], zero, slot[b, 0], zero))
+                    vp[i] = jax.lax.dynamic_update_slice(
+                        vp[i], v_row[b][None].astype(vp[i].dtype),
+                        (page_idx[b, 0], zero, slot[b, 0], zero))
                 attn = attn_rows.reshape(B, L, -1)
                 h = _linear(attn, layer.attn.wo, residual=h)
                 h = _mlp(cfg, layer.mlp, h,
@@ -656,26 +654,19 @@ def forward_step_paged(
                 eps=cfg.rms_norm_eps,
             )
             # Per-row dynamic_update_slice instead of the advanced-index
-            # scatter: XLA keeps DUS chains on a donated scan carry
-            # in-place even when a Pallas call also reads the buffer,
-            # while scatter + custom-call consumers forced whole-pool
-            # copies (the _scatter_rows lesson, same hazard class).
-            lyr = jnp.int32(i)
+            # scatter: XLA keeps DUS chains on a donated buffer in-place
+            # even when a Pallas call also reads the buffer, while
+            # scatter + custom-call consumers forced whole-pool copies
+            # (the _scatter_rows lesson, same hazard class).
             zero = jnp.int32(0)
             for b in range(B):
-                kp = jax.lax.dynamic_update_slice(
-                    kp, k_row[b][None, None, :, :, :].astype(kp.dtype),
-                    (lyr, page_idx[b, 0], zero, slot[b, 0], zero))
-                vp = jax.lax.dynamic_update_slice(
-                    vp, v_row[b][None, None, :, :, :].astype(vp.dtype),
-                    (lyr, page_idx[b, 0], zero, slot[b, 0], zero))
+                kp[i] = jax.lax.dynamic_update_slice(
+                    kp[i], k_row[b][None].astype(kp[i].dtype),
+                    (page_idx[b, 0], zero, slot[b, 0], zero))
+                vp[i] = jax.lax.dynamic_update_slice(
+                    vp[i], v_row[b][None].astype(vp[i].dtype),
+                    (page_idx[b, 0], zero, slot[b, 0], zero))
             q4 = q_rows.reshape(B, cfg.num_attention_heads, L, cfg.head_dim)
-            # Whole pool + layer folded into the block table: kp[i]/vp[i]
-            # layer slices materialized ~17 MB x2 per layer (~2.4 ms/step
-            # of slice+staging in the trace); the flat reshape is a free
-            # bitcast of the donated carry. Dead -1 slots shift to a
-    	    # wrong-but-in-bounds page; they are only dereferenced for
-            # idle rows whose outputs are discarded.
             attn = paged_attention(
                 q4, kp[i], vp[i], block_table, lens, scale=scale,
                 mask="causal", impl=attn_impl,
@@ -690,13 +681,13 @@ def forward_step_paged(
             norm_w=layer.input_layernorm,
         )
         if strategy_update is not None:
-            kp_i, vp_i = strategy_update(kp[i], vp[i], k, v, page_idx_raw, slot)
-            kp = kp.at[i].set(kp_i)
-            vp = vp.at[i].set(vp_i)
+            kp[i], vp[i] = strategy_update(
+                kp[i], vp[i], k, v, page_idx_raw, slot
+            )
         else:
             # [B, H, L, D] -> [B, L, H, D] to match scatter index layout.
-            kp = kp.at[i, page_idx, :, slot, :].set(k.transpose(0, 2, 1, 3))
-            vp = vp.at[i, page_idx, :, slot, :].set(v.transpose(0, 2, 1, 3))
+            kp[i] = kp[i].at[page_idx, :, slot, :].set(k.transpose(0, 2, 1, 3))
+            vp[i] = vp[i].at[page_idx, :, slot, :].set(v.transpose(0, 2, 1, 3))
         if local_attention:
             attn = flash_attention(
                 q, k, v, scale=scale, mask="causal", impl=attn_impl
@@ -718,7 +709,7 @@ def forward_step_paged(
     if logits_to_keep is not None:
         h = h[:, -logits_to_keep:, :]
     h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)
-    return _lm_head(params, h), kp, vp
+    return _lm_head(params, h), tuple(kp), tuple(vp)
 
 
 def forward_decode_burst_dense(

@@ -50,8 +50,9 @@ from .sp_attention import combine_softmax_states, paged_decode_state_xla
 
 
 def dp_paged_pool_spec(scfg: ShardingConfig) -> P:
-    """[num_layers, Pg, H_kv, page_size, D]: pages on dp, KV heads on tp."""
-    return P(None, scfg.dp_axis, scfg.tp_axis, None, None)
+    """Per-layer [Pg, H_kv, page_size, D] buffer: pages on dp, KV heads
+    on tp (the pool is a tuple of per-layer buffers, kv/paged.py)."""
+    return P(scfg.dp_axis, scfg.tp_axis, None, None)
 
 
 @dataclasses.dataclass(frozen=True)

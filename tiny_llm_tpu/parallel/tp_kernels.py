@@ -113,5 +113,6 @@ class TPAttention:
 
 
 def paged_pool_spec(scfg: ShardingConfig) -> P:
-    """[num_layers, Pg, H_kv, page_size, D] pool: KV heads on tp."""
-    return P(None, None, scfg.tp_axis, None, None)
+    """Per-layer [Pg, H_kv, page_size, D] pool buffer: KV heads on tp
+    (the pool is a tuple of per-layer buffers, kv/paged.py)."""
+    return P(None, scfg.tp_axis, None, None)
