@@ -237,14 +237,16 @@ def smoke_fused_decode_attention():
 
 def smoke_fused_dense_model_parity():
     """Dense decode fast path (one-kernel fused attention) vs the
-    unfused path: same greedy tokens over a dense-cache decode."""
+    unfused path over installed dense batch slots: same greedy tokens.
+    (Requests installed — see the paged twin's docstring.)"""
     import os
 
     from tiny_llm_tpu.models import QWEN3_CONFIGS, Qwen3Model, synthetic_quantized_params
 
     cfg = QWEN3_CONFIGS["qwen3-0.6b"]
     rng = np.random.default_rng(12)
-    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 24)), jnp.int32)
+    p0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 24)), jnp.int32)
+    p1 = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 17)), jnp.int32)
     results = {}
     prev = os.environ.get("TLT_FUSED_ATTN")
     try:
@@ -253,22 +255,25 @@ def smoke_fused_dense_model_parity():
             model = Qwen3Model(
                 synthetic_quantized_params(cfg, key=5), cfg, max_seq_len=256
             )
-            cache = model.create_batching_kv_cache(max_active_requests=2)
-            logits = model(prompt, [0, 0], cache, logits_to_keep=1)
-            tok = np.asarray(
-                jax.device_get(
-                    jnp.argmax(logits[:, -1].astype(jnp.float32), -1)
-                ),
-                np.int32,
-            )
-            toks = [tok.copy()]
-            for i in range(8):
-                logits = model(tok[:, None], [24 + i] * 2, cache,
-                               logits_to_keep=1)
-                lp = logits[:, -1].astype(jnp.float32)
+            batch = model.create_batching_kv_cache(max_active_requests=2)
+            toks, offs = [], []
+            for slot_i, pr in ((0, p0), (1, p1)):
+                c = model.create_kv_cache()
+                lg = model(pr, 0, c, logits_to_keep=1)
+                toks.append(int(jax.device_get(
+                    jnp.argmax(lg[:, -1].astype(jnp.float32), -1))[0]))
+                batch.add_request(c, slot_i)
+                offs.append(pr.shape[1])
+            tok = np.asarray(toks, np.int32)
+            offs = np.asarray(offs, np.int32)
+            hist = [tok.copy()]
+            for _ in range(8):
+                lg = model(tok[:, None], list(offs), batch, logits_to_keep=1)
+                lp = lg[:, -1].astype(jnp.float32)
                 tok = np.asarray(jax.device_get(jnp.argmax(lp, -1)), np.int32)
-                toks.append(tok.copy())
-            results[arm] = (np.stack(toks), np.asarray(jax.device_get(lp)))
+                hist.append(tok.copy())
+                offs = offs + 1
+            results[arm] = (np.stack(hist), np.asarray(jax.device_get(lp)))
     finally:
         if prev is None:
             os.environ.pop("TLT_FUSED_ATTN", None)
@@ -280,17 +285,22 @@ def smoke_fused_dense_model_parity():
 
 
 def smoke_fused_paged_model_parity():
-    """Paged decode fast path (prep kernel + DUS + whole-pool walk) vs
-    the unfused path on a small model: same greedy tokens, close logits.
-    TLT_FUSED_ATTN is read at trace time, so each arm traces its own
-    model instance."""
+    """Paged decode fast path (one-kernel fused attention + DUS page
+    writes) vs the unfused path with REAL INSTALLED REQUESTS: same
+    greedy tokens, close logits. Requests must be installed — idle
+    batch slots legitimately produce different garbage per path (their
+    outputs are discarded and writes land on the trash page); an early
+    version of this check compared idle-slot garbage and misread the
+    difference as corruption. TLT_FUSED_ATTN is read at trace time, so
+    each arm traces its own model instance."""
     import os
 
     from tiny_llm_tpu.models import QWEN3_CONFIGS, Qwen3Model, synthetic_quantized_params
 
     cfg = QWEN3_CONFIGS["qwen3-0.6b"]
     rng = np.random.default_rng(11)
-    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 24)), jnp.int32)
+    p0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 24)), jnp.int32)
+    p1 = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 30)), jnp.int32)
     results = {}
     prev = os.environ.get("TLT_FUSED_ATTN")
     try:
@@ -300,23 +310,25 @@ def smoke_fused_paged_model_parity():
                 synthetic_quantized_params(cfg, key=3), cfg, max_seq_len=256
             )
             model.enable_paged_attention(page_size=16)
-            cache = model.create_batching_kv_cache(max_active_requests=2)
-            logits = model(prompt, [0, 0], cache, logits_to_keep=1)
-            tok = np.asarray(
-                jax.device_get(
-                    jnp.argmax(logits[:, -1].astype(jnp.float32), -1)
-                ),
-                np.int32,
-            )
-            toks = [tok.copy()]
-            for i in range(8):
-                logits = model(tok[:, None], [24 + i] * 2, cache,
-                               logits_to_keep=1)
-                lp = logits[:, -1].astype(jnp.float32)
-                tok = np.asarray(
-                    jax.device_get(jnp.argmax(lp, -1)), np.int32)
-                toks.append(tok.copy())
-            results[arm] = (np.stack(toks), np.asarray(jax.device_get(lp)))
+            batch = model.create_batching_kv_cache(max_active_requests=2)
+            toks, offs = [], []
+            for slot_i, pr in ((0, p0), (1, p1)):
+                c = model.create_kv_cache()
+                lg = model(pr, 0, c, logits_to_keep=1)
+                toks.append(int(jax.device_get(
+                    jnp.argmax(lg[:, -1].astype(jnp.float32), -1))[0]))
+                batch.add_request(c, slot_i)
+                offs.append(pr.shape[1])
+            tok = np.asarray(toks, np.int32)
+            offs = np.asarray(offs, np.int32)
+            hist = [tok.copy()]
+            for _ in range(8):
+                lg = model(tok[:, None], list(offs), batch, logits_to_keep=1)
+                lp = lg[:, -1].astype(jnp.float32)
+                tok = np.asarray(jax.device_get(jnp.argmax(lp, -1)), np.int32)
+                hist.append(tok.copy())
+                offs = offs + 1
+            results[arm] = (np.stack(hist), np.asarray(jax.device_get(lp)))
     finally:
         if prev is None:
             os.environ.pop("TLT_FUSED_ATTN", None)

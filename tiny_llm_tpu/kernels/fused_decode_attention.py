@@ -290,6 +290,8 @@ def _fused_paged_step_kernel(
     vo_ref,  # [1, Hkv, 1, D]
     # scratch
     q_s,  # [Hkv, n_rep, D] bf16 — pre-scaled queries, staged at i == 0
+    kr_s,  # [Hkv, 1, D] bf16 — current k row, staged at i == 0
+    vr_s,  # [Hkv, 1, D] bf16
     m_ref,  # [Hkv, n_rep, 128] f32
     l_ref,
     acc_ref,  # [Hkv, n_rep, D] f32
@@ -305,7 +307,18 @@ def _fused_paged_step_kernel(
     dense kernel (1-2 live tiles at serving windows), a batched page walk
     runs ~5+ live steps per row, so the query is staged in VMEM scratch
     at i == 0 instead of recomputed per step (a per-tile norm+rope
-    recompute measured 11.7 vs 8.0 ms/step on the serving burst)."""
+    recompute measured 11.7 vs 8.0 ms/step on the serving burst). The
+    k/v rows are staged too so the epilogue never re-reads the input
+    block after the i == 0 output writes (defensive: a custom-call
+    output buffer may legally alias a dead input intermediate).
+
+    History note: this kernel was shelved twice for "row-0 corruption"
+    in-model while passing every isolated check — that was a FALSE
+    ALARM from parity probes comparing IDLE batch slots, whose
+    discarded garbage legitimately differs per path (no installed
+    requests -> offset 0, -1 pages -> trash-page reads). With real
+    requests installed the path is token-exact vs the unfused chain
+    (scripts/tpu_smoke.py fused_paged_model_parity)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     Hkv, n_rep, D = acc_ref.shape[0], acc_ref.shape[1], acc_ref.shape[2]
@@ -325,6 +338,8 @@ def _fused_paged_step_kernel(
         q = _rms_rope_heads(q, qw_ref[0:1, :], cos, sin, eps)
         q_s[:] = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
         k, v = prep_kv()
+        kr_s[:] = k
+        vr_s[:] = v
         ko_ref[0] = k
         vo_ref[0] = v
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
@@ -356,7 +371,7 @@ def _fused_paged_step_kernel(
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
-        k, v = prep_kv()
+        k, v = kr_s[:], vr_s[:]
         q = q_s[:].astype(jnp.float32)
         s_cur = jnp.sum(q * k.astype(jnp.float32), axis=2, keepdims=True)
         m_prev = m_ref[:, :, :1]
@@ -432,6 +447,8 @@ def fused_paged_decode_attention(
         ],
         scratch_shapes=[
             pltpu.VMEM((Hkv, n_rep, D), jnp.bfloat16),
+            pltpu.VMEM((Hkv, 1, D), jnp.bfloat16),
+            pltpu.VMEM((Hkv, 1, D), jnp.bfloat16),
             pltpu.VMEM((Hkv, n_rep, 128), jnp.float32),
             pltpu.VMEM((Hkv, n_rep, 128), jnp.float32),
             pltpu.VMEM((Hkv, n_rep, D), jnp.float32),

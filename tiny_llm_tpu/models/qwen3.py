@@ -606,25 +606,28 @@ def forward_step_paged(
         n_rep = cfg.num_attention_heads // cfg.num_key_value_heads
     for i, layer in enumerate(params.layers):
         if use_fused_attn:
-            # prep kernel -> in-place page scatter -> pages-walk
-            # attention: one launch replaces the per-layer XLA glue
-            # (qkv slices, QK-norm, RoPE, head transposes) while KEEPING
-            # the unfused path's scatter-then-read pool order — fusing
-            # the attention too (reading the pool before the scatter)
-            # made XLA copy the whole scan-carried pool 4x per step.
+            # One Pallas call per layer replaces the per-layer XLA glue:
+            # qkv split + QK-norm + RoPE + the whole-page walk, with the
+            # current token's K/V folded in-kernel (so the page write
+            # can happen AFTER attention, via per-row in-place DUS).
+            # Idle rows (-1 pages, offset 0) attend their own token plus
+            # clamped trash-page garbage — their outputs are discarded
+            # and their writes land on the trash page, same contract as
+            # the unfused path (exact garbage VALUES differ; an early
+            # parity probe compared idle-slot garbage across paths and
+            # mis-read that as corruption — install real requests when
+            # comparing paths, see scripts/tpu_smoke.py).
+            # TLT_PAGED_FUSED_ONE=0 falls back to the 3-launch variant
+            # (prep kernel + DUS + pages-walk attention), kept as the
+            # measured A/B (7.07 vs 5.69 ms/step on the serving burst).
             qkv = _norm_linear(
                 h, layer.attn.wqkv, layer.input_layernorm, cfg.rms_norm_eps
             )
             qkv_rows = qkv.reshape(
                 B, cfg.num_key_value_heads, n_rep + 2, cfg.head_dim
             )
-            if os.environ.get("TLT_PAGED_FUSED_ONE", "0") == "1":
-                # One-kernel experiment (attention fused in, this
-                # layer's buffer read before the DUS writes). With the
-                # STACKED pool this corrupted row 0 in-model despite
-                # passing every isolated check (2026-08-21, see
-                # PERFORMANCE.md round-4 buffer-order notes); re-test
-                # under the per-layer pool before promoting.
+            zero = jnp.int32(0)
+            if os.environ.get("TLT_PAGED_FUSED_ONE", "1") == "1":
                 from ..kernels.fused_decode_attention import (
                     fused_paged_decode_attention,
                 )
@@ -635,30 +638,18 @@ def forward_step_paged(
                     layer.attn.q_norm, layer.attn.k_norm,
                     scale=scale, eps=cfg.rms_norm_eps,
                 )
-                zero = jnp.int32(0)
-                for b in range(B):
-                    kp[i] = jax.lax.dynamic_update_slice(
-                        kp[i], k_row[b][None].astype(kp[i].dtype),
-                        (page_idx[b, 0], zero, slot[b, 0], zero))
-                    vp[i] = jax.lax.dynamic_update_slice(
-                        vp[i], v_row[b][None].astype(vp[i].dtype),
-                        (page_idx[b, 0], zero, slot[b, 0], zero))
-                attn = attn_rows.reshape(B, L, -1)
-                h = _linear(attn, layer.attn.wo, residual=h)
-                h = _mlp(cfg, layer.mlp, h,
-                         norm_w=layer.post_attention_layernorm, residual=h)
-                continue
-            q_rows, k_row, v_row = fused_qkv_prep(
-                qkv_rows, offsets, cos_row, sin_row,
-                layer.attn.q_norm, layer.attn.k_norm,
-                eps=cfg.rms_norm_eps,
-            )
+            else:
+                q_rows, k_row, v_row = fused_qkv_prep(
+                    qkv_rows, offsets, cos_row, sin_row,
+                    layer.attn.q_norm, layer.attn.k_norm,
+                    eps=cfg.rms_norm_eps,
+                )
+                attn_rows = None
             # Per-row dynamic_update_slice instead of the advanced-index
             # scatter: XLA keeps DUS chains on a donated buffer in-place
             # even when a Pallas call also reads the buffer, while
             # scatter + custom-call consumers forced whole-pool copies
             # (the _scatter_rows lesson, same hazard class).
-            zero = jnp.int32(0)
             for b in range(B):
                 kp[i] = jax.lax.dynamic_update_slice(
                     kp[i], k_row[b][None].astype(kp[i].dtype),
@@ -666,12 +657,17 @@ def forward_step_paged(
                 vp[i] = jax.lax.dynamic_update_slice(
                     vp[i], v_row[b][None].astype(vp[i].dtype),
                     (page_idx[b, 0], zero, slot[b, 0], zero))
-            q4 = q_rows.reshape(B, cfg.num_attention_heads, L, cfg.head_dim)
-            attn = paged_attention(
-                q4, kp[i], vp[i], block_table, lens, scale=scale,
-                mask="causal", impl=attn_impl,
-            )
-            attn = attn.transpose(0, 2, 1, 3).reshape(B, L, -1)
+            if attn_rows is None:
+                q4 = q_rows.reshape(
+                    B, cfg.num_attention_heads, L, cfg.head_dim
+                )
+                attn = paged_attention(
+                    q4, kp[i], vp[i], block_table, lens, scale=scale,
+                    mask="causal", impl=attn_impl,
+                )
+                attn = attn.transpose(0, 2, 1, 3).reshape(B, L, -1)
+            else:
+                attn = attn_rows.reshape(B, L, -1)
             h = _linear(attn, layer.attn.wo, residual=h)
             h = _mlp(cfg, layer.mlp, h,
                      norm_w=layer.post_attention_layernorm, residual=h)
