@@ -159,3 +159,56 @@ def test_serving_metrics_dict():
     # Structural-zero ledger columns are present (and zero).
     assert d["growth_copy_bytes"] == 0
     assert d["staging_copy_bytes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Idle-slot invariance: an installed request's logits must not depend on
+# whether OTHER batch slots are idle or occupied. (Round-4 lesson: idle
+# slots legitimately compute discarded garbage — different per code path
+# — so parity/equality checks must compare INSTALLED rows only; this
+# test pins the property those checks rely on, for both the dense and
+# paged batched decode paths.)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_idle_slot_invariance(paged):
+    cfg = tiny_test_config(num_hidden_layers=2)
+    params = random_params(cfg, key=9, quantized=True)
+
+    def build():
+        m = Qwen3Model(params, cfg, max_seq_len=64)
+        if paged:
+            m.enable_paged_attention(num_pages=24, page_size=8)
+        return m
+
+    prompt = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
+
+    def decode_row(with_neighbor: bool):
+        model = build()
+        batch = model.create_batching_kv_cache(max_active_requests=2)
+        c = model.create_kv_cache()
+        lg = model(prompt, 0, c, logits_to_keep=1)
+        tok = int(np.asarray(
+            jnp.argmax(lg[:, -1].astype(jnp.float32), -1))[0])
+        batch.add_request(c, 0)
+        off = prompt.shape[1]
+        neighbor_off = 0
+        if with_neighbor:
+            n = model.create_kv_cache()
+            nprompt = jnp.asarray([[7, 7, 7]], jnp.int32)
+            model(nprompt, 0, n, logits_to_keep=1)
+            batch.add_request(n, 1)
+            neighbor_off = 3
+        toks = [tok]
+        for i in range(5):
+            t = jnp.asarray([[toks[-1]], [0]], jnp.int32)
+            lg = model(t, [off + i, neighbor_off + i], batch,
+                       logits_to_keep=1)
+            toks.append(int(np.asarray(
+                jnp.argmax(lg[0, -1].astype(jnp.float32), -1))))
+        return toks
+
+    alone = decode_row(with_neighbor=False)
+    with_other = decode_row(with_neighbor=True)
+    assert alone == with_other, (alone, with_other)
