@@ -321,3 +321,93 @@ class TestStoreCrashRecovery:
         second.append("user_message", {"text": "newest"})
         resumed = store.latest()
         assert resumed.events[-1].data.get("text") == "newest"
+
+
+# ---------------------------------------------------------------------------
+# Load-time cross-link validation: a log whose id/parent CHAIN is intact
+# can still carry semantically impossible links (duplicate deliveries,
+# results closing nothing). Append-time validation never produced such a
+# log, so its presence is corruption or tampering — load fails closed.
+# Reference analog: day-6 load_rejects_out_of_order_and_duplicate_
+# {steering,assistant}_links (tests_refsol/test_week_4_day_6.py).
+# Mutation-verified: removing SessionLog._validate_links from load()
+# passes every rejection test below (the chain check alone cannot see
+# these).
+# ---------------------------------------------------------------------------
+
+
+def _write_chain(path, rows):
+    """Write a chain-valid JSONL from (type, data) rows."""
+    lines = []
+    for i, (typ, data) in enumerate(rows):
+        lines.append(json.dumps({
+            "id": i, "ts": 1000.0 + i, "type": typ,
+            "parent": i - 1 if i else None, "data": data,
+        }))
+    path.write_text("\n".join(lines) + "\n")
+    return str(path)
+
+
+class TestLoadLinkValidation:
+    def test_duplicate_steering_delivery_rejected(self, tmp_path):
+        p = _write_chain(tmp_path / "s.jsonl", [
+            ("user", {"text": "hi"}),
+            ("steering_queued", {"text": "go left"}),
+            ("steering_delivered", {"steering_id": 1}),
+            ("steering_delivered", {"steering_id": 1}),
+        ])
+        with pytest.raises(SessionError, match="steering_delivered"):
+            SessionLog.load(p)
+
+    def test_delivery_before_queue_rejected(self, tmp_path):
+        p = _write_chain(tmp_path / "s.jsonl", [
+            ("user", {"text": "hi"}),
+            ("steering_delivered", {"steering_id": 2}),
+            ("steering_queued", {"text": "go left"}),
+        ])
+        with pytest.raises(SessionError, match="steering_delivered"):
+            SessionLog.load(p)
+
+    def test_result_closing_closed_call_rejected(self, tmp_path):
+        p = _write_chain(tmp_path / "s.jsonl", [
+            ("user", {"text": "hi"}),
+            ("tool_call", {"name": "read", "args": {}}),
+            ("tool_result", {"call_id": 1, "output": "a"}),
+            ("tool_result", {"call_id": 1, "output": "b"}),
+        ])
+        with pytest.raises(SessionError, match="tool_result"):
+            SessionLog.load(p)
+
+    def test_result_with_unknown_call_rejected(self, tmp_path):
+        p = _write_chain(tmp_path / "s.jsonl", [
+            ("user", {"text": "hi"}),
+            ("tool_result", {"call_id": 99, "output": "ghost"}),
+        ])
+        with pytest.raises(SessionError, match="tool_result"):
+            SessionLog.load(p)
+
+    def test_valid_links_load_and_continue(self, tmp_path):
+        """The same event types in a legal order load fine, and the
+        loaded handle appends (proof the validation is not too eager)."""
+        p = _write_chain(tmp_path / "s.jsonl", [
+            ("user", {"text": "hi"}),
+            ("steering_queued", {"text": "go left"}),
+            ("tool_call", {"name": "read", "args": {}}),
+            ("tool_result", {"call_id": 2, "output": "a"}),
+            ("steering_delivered", {"steering_id": 1}),
+        ])
+        log = SessionLog.load(p)
+        assert len(log.events) == 5
+        log.append("assistant", {"text": "done"})
+        assert SessionLog.load(p).events[-1].type == "assistant"
+
+    def test_recovered_gap_result_still_loads(self, tmp_path):
+        """The synthetic gap-closing tool_result (recovered=True, no
+        call_id) is legal output of recover_incomplete_turns and must
+        keep loading."""
+        p = _write_chain(tmp_path / "s.jsonl", [
+            ("user", {"text": "hi"}),
+            ("assistant", {"text": "let me check"}),
+            ("tool_result", {"recovered": True, "output": "interrupted"}),
+        ])
+        assert len(SessionLog.load(p).events) == 3

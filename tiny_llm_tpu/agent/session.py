@@ -359,12 +359,51 @@ class SessionLog:
         if good_offset < len(raw):
             with open(path, "r+b") as f:
                 f.truncate(good_offset)
+        SessionLog._validate_links(events)
         log = SessionLog.__new__(SessionLog)
         log.path = path
         log.events = events
         log._expected_size = good_offset
         log._append_lock = threading.Lock()
         return log
+
+    @staticmethod
+    def _validate_links(events: list[SessionEvent]) -> None:
+        """Semantic cross-link validation for a LOADED event list.
+
+        The id/parent chain proves byte-level integrity; this proves the
+        link structure the runtime relies on: every tool_result closes a
+        then-open tool_call, every steering_delivered matches a
+        then-queued, not-yet-delivered steering event. A chain-valid log
+        violating these is corruption or tampering and fails closed
+        (reference analog: the day-6 load_rejects_out_of_order_and_
+        duplicate_{steering,assistant}_links family)."""
+        open_calls: set[int] = set()
+        queued: set[int] = set()
+        delivered: set[int] = set()
+        for ev in events:
+            if ev.type == "tool_call":
+                open_calls.add(ev.id)
+            elif ev.type == "tool_result":
+                call_id = ev.data.get("call_id")
+                if call_id is None and ev.data.get("recovered"):
+                    continue  # synthetic gap-closing result
+                if call_id not in open_calls:
+                    raise SessionError(
+                        f"loaded tool_result {ev.id} does not close an "
+                        f"open tool_call (call_id {call_id})"
+                    )
+                open_calls.discard(call_id)
+            elif ev.type == "steering_queued":
+                queued.add(ev.id)
+            elif ev.type == "steering_delivered":
+                sid = ev.data.get("steering_id")
+                if sid not in queued or sid in delivered:
+                    raise SessionError(
+                        f"loaded steering_delivered {ev.id} does not match "
+                        f"a queued, undelivered steering event (id {sid})"
+                    )
+                delivered.add(sid)
 
 
 def memory_session() -> SessionLog:
