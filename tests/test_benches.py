@@ -29,6 +29,10 @@ BENCH_MODULES = [
     "bench_scaling",
     "probe_scan_gather_fault",
     "probe_model_burst",
+    "bench_moe_model",
+    "bench_8b_32k",
+    "probe_fatn",
+    "probe_fused_attn",
 ]
 
 
