@@ -4,10 +4,11 @@ Parity targets: TinyKvPagedPool / TinyKvPagedCache / PagedKvMetadata
 (/root/reference/src/tiny_llm_ref/paged_kv_cache.py:11-360) and the paged
 side of BatchingKvCache (kv_cache.py:141-202). TPU-first redesign:
 
-* ONE pool for ALL layers — pages are [num_layers, P, H_kv, page_size, D]
-  with a single free list, because every append touches all layers
-  symmetrically, so page ids can be layer-invariant (the reference keeps
-  per-layer pools with identical allocation patterns; collapsing them
+* ONE free list / block table for ALL layers (page ids are
+  layer-invariant because appends touch every layer symmetrically), but
+  per-layer PAGE BUFFERS — a tuple of [P, H_kv, page_size, D] arrays,
+  not one stacked tensor (see __init__; round 4). The reference keeps
+  per-layer pools with identical allocation patterns; sharing the ids
   makes the block table one [B, max_pages] array instead of num_layers of
   them, and lets the whole model step be one jitted call with one donated
   pool buffer pair).
