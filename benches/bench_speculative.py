@@ -40,8 +40,15 @@ from tiny_llm_tpu.speculative import SpecModel, speculative_decode_device
 PROMPT_LEN = 64
 
 
-def build(name: str, key: int, max_seq: int) -> SpecModel:
+def build(name: str, key: int, max_seq: int, layers: int | None = None) -> SpecModel:
+    """--target-layers truncates the target (e.g. 30B-A3B at full E=128
+    per-layer shapes: the full 48-layer W4 stack exceeds one v5e HBM —
+    see benches/bench_moe_model.py)."""
+    import dataclasses
+
     cfg = QWEN3_CONFIGS[name]
+    if layers is not None:
+        cfg = dataclasses.replace(cfg, num_hidden_layers=layers)
     params = synthetic_quantized_params(cfg, key=key)
     return SpecModel.build(params, cfg, max_seq)
 
@@ -106,6 +113,7 @@ def main():
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--max-tokens", type=int, default=128)
     ap.add_argument("--alphas", default="0.6,0.8,0.9,1.0")
+    ap.add_argument("--target-layers", type=int, default=None)
     args = ap.parse_args()
 
     alphas = [float(a) for a in args.alphas.split(",")]
@@ -113,7 +121,7 @@ def main():
     rng = np.random.default_rng(0)
     prompt = [int(t) for t in rng.integers(10, 1000, size=PROMPT_LEN)]
 
-    target = build(args.target, key=0, max_seq=max_seq)
+    target = build(args.target, key=0, max_seq=max_seq, layers=args.target_layers)
     draft = build(args.draft, key=1, max_seq=max_seq)
 
     base_tok_s = bench_baseline(
