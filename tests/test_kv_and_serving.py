@@ -212,3 +212,56 @@ def test_idle_slot_invariance(paged):
     alone = decode_row(with_neighbor=False)
     with_other = decode_row(with_neighbor=True)
     assert alone == with_other, (alone, with_other)
+
+
+# ---------------------------------------------------------------------------
+# Pool backpressure: admission defers (not crashes) when the page pool is
+# momentarily full, and still fails loudly when the pool can never fit
+# the prompt. (Round-4: Request() reserves the prompt's full page span
+# at admission; an undersized-but-workable pool used to raise out of
+# batch_generate and LOSE the popped prompt.)
+# ---------------------------------------------------------------------------
+
+
+def _paged_model(num_pages, page_size=8):
+    cfg = tiny_test_config(num_hidden_layers=2)
+    m = Qwen3Model(random_params(cfg, key=4), cfg, max_seq_len=64)
+    m.enable_paged_attention(num_pages=num_pages, page_size=page_size)
+    return m
+
+
+def test_pool_backpressure_defers_admission():
+    """A pool sized for ~1.5 concurrent requests serves 4 prompts to
+    completion (admission waits for retirements) and matches
+    single-request outputs."""
+    tok = FakeTokenizer()
+    # ~26-30 chars = 4 pages per request at ps=8 (plus decode slack):
+    # two concurrent requests need 8+, the pool below holds 5 usable.
+    prompts = [
+        "hello world this is request A",
+        "abc def ghi jkl mno pqr stu",
+        "xyz uvw rst opq lmn ijk fgh",
+        "one two three four five six!",
+    ]
+    singles = []
+    for p in prompts:
+        m = _paged_model(num_pages=32)
+        singles.append(simple_generate_with_kv_cache(m, tok, p, max_tokens=4))
+    model = _paged_model(num_pages=6)
+    results = batch_generate(
+        model, tok, prompts, max_seq_len=48, batch_size=2, prefill_step=8,
+        max_output_tokens=4,
+    )
+    assert dict(results) == {i: s for i, s in enumerate(singles)}
+    assert model.page_pool.live_pages == 0  # everything released
+
+
+def test_pool_too_small_for_any_prompt_raises():
+    tok = FakeTokenizer()
+    model = _paged_model(num_pages=2)  # 1 usable page = 8 tokens
+    with pytest.raises(RuntimeError, match="size the pool"):
+        batch_generate(
+            model, tok, ["this prompt needs more than one page for sure"],
+            max_seq_len=48, batch_size=2, prefill_step=8,
+            max_output_tokens=4,
+        )

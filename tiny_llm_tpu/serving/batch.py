@@ -65,8 +65,15 @@ class Request:
         if hasattr(self.kv_cache, "ensure_capacity"):
             # Reserve the whole prompt's pages at admission: stable block-
             # table width across chunks (fewer compiled shapes) and no
-            # mid-prefill pool exhaustion.
-            self.kv_cache.ensure_capacity(len(self.prefill_tokens))
+            # mid-prefill pool exhaustion. If the pool cannot hold the
+            # reservation RIGHT NOW, release the handle before re-raising
+            # so the caller can defer admission (batch_generate's
+            # backpressure path) without leaking partial page lists.
+            try:
+                self.kv_cache.ensure_capacity(len(self.prefill_tokens))
+            except RuntimeError:
+                self.kv_cache.release()
+                raise
         self.prefill_max_step = prefill_max_step
         self.is_done = False
         self.is_prefill_done = False
@@ -183,17 +190,36 @@ def batch_generate(
 
         for _ in range(prefill_chunks_per_iter):
             if prompts and pending is None:
-                pending = Request(
-                    model, tokenizer, prompts.pop(0), prefill_step, next_idx,
-                    sampler=sampler,
-                    rng=(
-                        jax.random.fold_in(base_key, next_idx)
-                        if sampler is not None
-                        else None
-                    ),
-                    arrival_t=start,  # offline batch: all requests at t=0
-                )
-                next_idx += 1
+                prompt = prompts.pop(0)
+                try:
+                    pending = Request(
+                        model, tokenizer, prompt, prefill_step, next_idx,
+                        sampler=sampler,
+                        rng=(
+                            jax.random.fold_in(base_key, next_idx)
+                            if sampler is not None
+                            else None
+                        ),
+                        arrival_t=start,  # offline batch: all at t=0
+                    )
+                    next_idx += 1
+                except RuntimeError as e:
+                    if "page pool exhausted" not in str(e):
+                        raise
+                    # Pool backpressure: put the prompt back and let the
+                    # active requests retire and free pages before
+                    # retrying admission. A pool that cannot fit the
+                    # prompt even with NOTHING else running can never
+                    # make progress — that is a sizing error and still
+                    # raises instead of spinning.
+                    prompts.insert(0, prompt)
+                    if all(r is None for r in decode_requests):
+                        raise RuntimeError(
+                            "page pool cannot fit the next prompt even "
+                            "with no active requests; size the pool for "
+                            "the longest prompt"
+                        ) from e
+                    break
             if pending is None:
                 break
             if not pending.is_prefill_done:
