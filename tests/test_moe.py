@@ -223,19 +223,31 @@ def test_grouped_quantized_matmul_pallas_interpret(sizes):
 
 
 def test_grouped_quantized_matmul_multiple_n_tiles():
-    """N wide enough to span several n-tiles: the per-n accumulator reuse
-    across revisited m-tiles must stay correct."""
-    from tiny_llm_tpu.kernels.moe_matmul import grouped_quantized_matmul
+    """N spanning several n-tiles: the per-n accumulator reuse across
+    revisited m-tiles must stay correct. The round-5 chooser prefers one
+    whole-expert block (bn = N), so the n-tiled path is pinned here by
+    forcing bn below N on the magic kernel directly."""
+    from tiny_llm_tpu.kernels.moe_matmul import _gqmm_magic_pallas
+    from tiny_llm_tpu.ops.quantize import dequantize, quantize_stacked
 
     sizes = [5, 11, 0, 17]
     E, N, K = len(sizes), 384, 128
-    stacked, w_hat = _stack_quantized(E, N, K, seed=6)
+    rng = np.random.default_rng(6)
+    wf = jnp.asarray(rng.normal(size=(E, N, K)).astype(np.float32) * 0.1)
+    stacked = quantize_stacked(wf, layout="magic_t")
+    w_hat = np.asarray(dequantize(stacked, jnp.float32))[..., :K]
     T = sum(sizes)
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.normal(size=(T, K)), jnp.bfloat16)
+    xp = x
+    if stacked.k_padded != K:
+        xp = jnp.pad(x, ((0, 0), (0, stacked.k_padded - K)))
     out = np.asarray(
-        grouped_quantized_matmul(x, stacked, jnp.asarray(sizes, jnp.int32),
-                                 interpret=True),
+        _gqmm_magic_pallas(
+            xp, stacked.packed, stacked.scales, stacked.biases,
+            jnp.asarray(sizes, jnp.int32), group_size=stacked.group_size,
+            bits=stacked.bits, interpret=True, bn=128,
+        ),
         np.float32,
     )
     r = 0
@@ -245,6 +257,25 @@ def test_grouped_quantized_matmul_multiple_n_tiles():
         expected = np.asarray(x[r : r + s], np.float32) @ w_hat[e].T
         np.testing.assert_allclose(out[r : r + s], expected, rtol=5e-2, atol=8e-2)
         r += s
+
+
+def test_magic_block_chooser_prefers_whole_expert():
+    """Round-5 scan-safe streaming (VERDICT #2): at the 30B-A3B decode
+    shapes the chooser must select ONE whole-expert block — bn == N —
+    so the walk fetches no padded columns (the 374 GB/s gate/up cap came
+    from bn=512 over N=768). A shape whose double-buffered working set
+    cannot fit must still tile."""
+    from tiny_llm_tpu.kernels.moe_matmul import _gqmm_magic_block_sizes
+
+    # gate/up: N=768, K=2048, gs=128 -> G=16; f32 scales (4B)
+    bm, bn = _gqmm_magic_block_sizes(64, 768, 2048, 16, 4)
+    assert bn == 768 and bm == 32
+    # down: N=2048, K=768 (padded 1024) -> G=8
+    bm, bn = _gqmm_magic_block_sizes(64, 2048, 1024, 8, 4)
+    assert bn == 2048
+    # a deliberately huge expert must fall back to tiling within budget
+    bm, bn = _gqmm_magic_block_sizes(64, 32768, 8192, 64, 4)
+    assert bn < 32768 and bn % 128 == 0
 
 
 def test_grouped_matmul_impl_dispatch_pallas():

@@ -171,7 +171,7 @@ def _gqmm_magic_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "bits", "interpret")
+    jax.jit, static_argnames=("group_size", "bits", "interpret", "bn")
 )
 def _gqmm_magic_pallas(
     x_pad: jax.Array,  # [T, k_padded] bf16, rows sorted by expert
@@ -182,12 +182,14 @@ def _gqmm_magic_pallas(
     group_size: int,
     bits: int,
     interpret: bool = False,
+    bn: int | None = None,  # forced n-tile width (tests / sweeps only)
 ) -> jax.Array:
     assert bits == 4
     T, K = x_pad.shape
     E, _, N = packed.shape
     G = scales.shape[1]
-    bm, bn = _gqmm_block_sizes(T, N, K)
+    bm, auto_bn = _gqmm_magic_block_sizes(T, N, K, G, scales.dtype.itemsize)
+    bn = auto_bn if bn is None else bn
     tiles_m = _cdiv(T, bm)
     tiles_n = _cdiv(N, bn)
     gids, mtids, flags, goffs = _group_metadata(group_sizes, T, bm, E, tiles_m)
@@ -233,6 +235,42 @@ def _gqmm_magic_pallas(
         ),
         interpret=interpret,
     )(gids, mtids, flags, goffs, x_pad, packed, scales, biases)
+
+
+def _gqmm_magic_block_sizes(T: int, N: int, K: int, G: int, sb_bytes: int):
+    """Whole-expert-N blocks for the magic walk (round-5, VERDICT #2).
+
+    The round-4 chooser inherited quant_matmul's conservative per-bn
+    VMEM model and tiled the 30B-A3B gate/up projection (N=768) into
+    bn=512 — two n-tiles fetching 1024 padded columns per expert visit:
+    33% dead HBM traffic plus a doubled visit count, capping the walk at
+    374 GB/s while the cleanly-tiled down projection ran 1052
+    (benchmark_results/v5e-moe-gather-ab-2026-08-21.json). The magic
+    schedule's real per-visit working set is only the double-buffered
+    packed/scale/bias blocks, the x block, and the f32 accumulator —
+    so prefer ONE whole-expert block (bn = N, the same whole-transfer
+    idiom that fixed paged decode in paged_flash_decode_pages) and halve
+    only if that working set would not double-buffer within budget."""
+    if T <= 16:
+        bm = 16
+    elif T <= 64:
+        bm = 32
+    else:
+        bm = 128
+    words = K // 8
+
+    def working_set(bn):
+        return (
+            2 * (words * 4 + 2 * G * sb_bytes) * bn  # double-buffered blocks
+            + bm * K * 2  # x block (bf16)
+            + bm * bn * 4  # f32 accumulator scratch
+        )
+
+    budget = 12 * 1024 * 1024
+    bn = N
+    while bn > 128 and working_set(bn) > budget:
+        bn = -(-((bn + 1) // 2) // 128) * 128  # halve, lane-aligned up
+    return bm, min(bn, N)
 
 
 def _gqmm_block_sizes(T: int, N: int, K: int):
