@@ -256,6 +256,30 @@ def test_pool_backpressure_defers_admission():
     assert model.page_pool.live_pages == 0  # everything released
 
 
+def test_every_exhaustion_path_raises_pool_exhausted_type():
+    """All four allocate_page backends (flat Python, SP-striped,
+    DP-striped, native C++) must raise PoolExhausted — the scheduler's
+    backpressure catches the type, so any path raising a bare
+    RuntimeError would crash batch_generate instead of deferring."""
+    from tiny_llm_tpu.kv.paged import PagePool, PoolExhausted
+
+    def drain(pool, **kw):
+        with pytest.raises(PoolExhausted):
+            for _ in range(pool.num_pages + 1):
+                pool.allocate_page(**kw)
+
+    common = dict(num_layers=1, num_pages=8, num_kv_heads=2, page_size=8,
+                  head_dim=16)
+    drain(PagePool(**common, native=False))
+    drain(PagePool(**common, stripe_shards=2))
+    drain(PagePool(**common, dp_shards=2), shard=0)
+    try:
+        native_pool = PagePool(**common, native=True)
+    except Exception:
+        pytest.skip("native allocator unavailable")
+    drain(native_pool)
+
+
 def test_pool_too_small_for_any_prompt_raises():
     tok = FakeTokenizer()
     model = _paged_model(num_pages=2)  # 1 usable page = 8 tokens

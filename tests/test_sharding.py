@@ -585,9 +585,15 @@ def test_dp_striped_pool_allocation_pinning():
     c1.ensure_capacity(20)  # 3 pages
     assert all(1 <= p <= 7 for p in c0.page_ids), c0.page_ids
     assert all(9 <= p <= 15 for p in c1.page_ids), c1.page_ids
-    # Exhaustion is per-stripe even when the other stripe has room.
+    # Exhaustion is per-stripe even when the other stripe has room, and
+    # raises the dedicated PoolExhausted type (round-5 ADVICE fix): the
+    # scheduler's admission backpressure catches the TYPE, so a DP-pool
+    # exhaustion defers admission exactly like a flat-pool one instead
+    # of crashing batch_generate on a message-substring mismatch.
+    from tiny_llm_tpu.kv.paged import PoolExhausted
+
     c0.ensure_capacity(7 * 8)
-    with pytest.raises(RuntimeError, match="stripe 0"):
+    with pytest.raises(PoolExhausted, match="stripe 0"):
         c0.ensure_capacity(8 * 8)
     # Auto-pinning picks the emptiest stripe.
     c2 = PagedKVCache(pool)

@@ -36,6 +36,15 @@ import numpy as np
 from .cache import KVCache
 
 
+class PoolExhausted(RuntimeError):
+    """Raised by every allocate_page exhaustion path (flat, SP-striped,
+    DP-striped, native). A dedicated type so the scheduler's admission
+    backpressure (serving/batch.py) can defer on exhaustion without
+    matching exception-message substrings — the DP-stripe message
+    differs from the flat pool's, which broke string matching
+    (ADVICE round 4)."""
+
+
 class PagePool:
     """Physical page storage shared by every request and layer."""
 
@@ -173,7 +182,7 @@ class PagePool:
         if self._pinned_free is not None:
             assert shard is not None, "dp-striped pools need a pinned shard"
             if not self._pinned_free[shard]:
-                raise RuntimeError(
+                raise PoolExhausted(
                     f"dp stripe {shard} exhausted "
                     f"({self.num_pages // self.dp_shards} pages); size the "
                     "pool for max_seq_len * max_active_requests"
@@ -193,14 +202,14 @@ class PagePool:
                 key=lambda s: len(self._free_by_shard[s]),
             )
             if not self._free_by_shard[shard]:
-                raise RuntimeError(
+                raise PoolExhausted(
                     f"page pool exhausted ({self.num_pages} pages); size the "
                     "pool for max_seq_len * max_active_requests"
                 )
             page = self._free_by_shard[shard].pop()
         else:
             if not self._free:
-                raise RuntimeError(
+                raise PoolExhausted(
                     f"page pool exhausted ({self.num_pages} pages); size the "
                     "pool for max_seq_len * max_active_requests"
                 )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any
 
 import jax
@@ -341,6 +342,11 @@ def _qkv_interleave_perm(attn: AttentionParams) -> list | None:
             return w.out_features
         return w.shape[0]
 
+    if attn.q_norm is None:
+        # No QK-norm -> no fused decode-attention kernel (it folds the
+        # norm in), so interleaving would be pointless; skip fusion-time
+        # crash for norm-less attention variants (ADVICE round 4).
+        return None
     d = attn.q_norm.shape[-1]
     dq, dk, dv = (out_features(w) for w in (attn.wq, attn.wk, attn.wv))
     if dk != dv or dq % d or dk % d:
@@ -441,6 +447,7 @@ def forward_step(
     window: int,
     logits_to_keep: int | None,
     attn_impl: str | None = None,
+    fused_attn: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One cached model step (prefill chunk or decode step).
 
@@ -460,13 +467,13 @@ def forward_step(
     # the qkv-split/QK-norm/RoPE/window-slice/flash chain (the per-layer
     # XLA glue was ~30% of the decode step — see PERFORMANCE.md round 4).
     # The RoPE row is gathered once here and shared by every layer.
-    import os
-
+    # (fused_attn is a construction-time knob baked into the jit partial —
+    # never an env read at trace time, which the jit cache can't key on.)
     use_fused_attn = (
         L == 1
         and isinstance(attn_impl, (str, type(None)))
         and resolve(attn_impl) == "pallas"
-        and os.environ.get("TLT_FUSED_ATTN", "1") != "0"  # A/B knob
+        and fused_attn
         and all(
             layer.attn.wqkv is not None and layer.attn.qkv_interleaved
             for layer in params.layers
@@ -531,6 +538,8 @@ def forward_step_paged(
     attn_impl: str | None = None,
     local_attention: bool = False,
     split_attention: bool = False,
+    fused_attn: bool = True,
+    fused_one: bool = True,
 ) -> tuple[jax.Array, tuple, tuple]:
     """One model step over the paged KV pool (week-3 serving path).
 
@@ -585,8 +594,8 @@ def forward_step_paged(
     # call per layer for qkv split + QK-norm + RoPE + the whole-page
     # walk — same glue elimination as the dense path, scan-safe
     # (BlockSpec-only, no manual DMA). See kernels/fused_decode_attention.
-    import os
-
+    # (fused_attn/fused_one are construction-time knobs baked into the
+    # jit partial — never env reads at trace time.)
     use_fused_attn = (
         L == 1
         and strategy_update is None
@@ -594,7 +603,7 @@ def forward_step_paged(
         and not split_attention
         and isinstance(attn_impl, (str, type(None)))
         and resolve(attn_impl) == "pallas"
-        and os.environ.get("TLT_FUSED_ATTN", "1") != "0"  # A/B knob
+        and fused_attn
         and all(
             layer.attn.wqkv is not None and layer.attn.qkv_interleaved
             for layer in params.layers
@@ -627,7 +636,7 @@ def forward_step_paged(
                 B, cfg.num_key_value_heads, n_rep + 2, cfg.head_dim
             )
             zero = jnp.int32(0)
-            if os.environ.get("TLT_PAGED_FUSED_ONE", "1") == "1":
+            if fused_one:
                 from ..kernels.fused_decode_attention import (
                     fused_paged_decode_attention,
                 )
@@ -725,6 +734,7 @@ def forward_decode_burst_dense(
     window: int,
     steps: int,
     attn_impl: str | None = None,
+    fused_attn: bool = True,
     temp: float = 0.0,
     top_k: int | None = None,
     top_p: float | None = None,
@@ -742,6 +752,7 @@ def forward_decode_burst_dense(
         logits, ks, vs = forward_step(
             params, cfg, rope_tabs, tokens[:, None], offsets, ks, vs,
             window=window, logits_to_keep=1, attn_impl=attn_impl,
+            fused_attn=fused_attn,
         )
         lp = logits[:, -1, :].astype(jnp.float32)
         if sample is None:
@@ -769,6 +780,8 @@ def forward_decode_burst_paged(
     *,
     steps: int,
     attn_impl: str | None = None,
+    fused_attn: bool = True,
+    fused_one: bool = True,
     temp: float = 0.0,
     top_k: int | None = None,
     top_p: float | None = None,
@@ -791,6 +804,7 @@ def forward_decode_burst_paged(
         logits, kp, vp = forward_step_paged(
             params, cfg, rope_tabs, tokens[:, None], offsets, kp, vp,
             block_table, logits_to_keep=1, attn_impl=attn_impl,
+            fused_attn=fused_attn, fused_one=fused_one,
         )
         lp = logits[:, -1, :].astype(jnp.float32)
         if sample is None:
@@ -884,14 +898,28 @@ class Qwen3Model:
             cfg.head_dim, self.max_seq_len, base=cfg.rope_theta
         )
 
+        # Fused-path A/B knobs, read ONCE at construction and baked into
+        # the jit partials (ADVICE round 4: a trace-time env read is not
+        # part of the jit cache key, so toggling mid-process silently
+        # kept the stale compiled path). In-process A/B = construct two
+        # models; the env vars still work when set before construction.
+        self.fused_attn = os.environ.get("TLT_FUSED_ATTN", "1") != "0"
+        self.paged_fused_one = os.environ.get("TLT_PAGED_FUSED_ONE", "1") == "1"
+
         self._full_jit = jax.jit(functools.partial(forward_full, cfg=cfg))
         self._step_jit = jax.jit(
-            functools.partial(forward_step, cfg=cfg, attn_impl=attn_impl),
+            functools.partial(
+                forward_step, cfg=cfg, attn_impl=attn_impl,
+                fused_attn=self.fused_attn,
+            ),
             static_argnames=("window", "logits_to_keep"),
             donate_argnames=("keys", "values"),
         )
         self._paged_step_jit = jax.jit(
-            functools.partial(forward_step_paged, cfg=cfg, attn_impl=attn_impl),
+            functools.partial(
+                forward_step_paged, cfg=cfg, attn_impl=attn_impl,
+                fused_attn=self.fused_attn, fused_one=self.paged_fused_one,
+            ),
             static_argnames=("logits_to_keep", "local_attention", "split_attention"),
             donate_argnames=("key_pages", "value_pages"),
         )
@@ -906,14 +934,16 @@ class Qwen3Model:
         self.split_prefill_min_chunk = 1024
         self._paged_burst_jit = jax.jit(
             functools.partial(
-                forward_decode_burst_paged, cfg=cfg, attn_impl=attn_impl
+                forward_decode_burst_paged, cfg=cfg, attn_impl=attn_impl,
+                fused_attn=self.fused_attn, fused_one=self.paged_fused_one,
             ),
             static_argnames=("steps", "temp", "top_k", "top_p"),
             donate_argnames=("key_pages", "value_pages"),
         )
         self._dense_burst_jit = jax.jit(
             functools.partial(
-                forward_decode_burst_dense, cfg=cfg, attn_impl=attn_impl
+                forward_decode_burst_dense, cfg=cfg, attn_impl=attn_impl,
+                fused_attn=self.fused_attn,
             ),
             static_argnames=("window", "steps", "temp", "top_k", "top_p"),
             donate_argnames=("keys", "values"),

@@ -77,7 +77,9 @@ class NativePageIndex:
     def allocate_page(self) -> int:
         p = int(self._lib.pa_alloc(self._h))
         if p < 0:
-            raise RuntimeError(f"page pool exhausted ({self.num_pages} pages)")
+            from ..kv.paged import PoolExhausted
+
+            raise PoolExhausted(f"page pool exhausted ({self.num_pages} pages)")
         return p
 
     def free_page(self, page: int) -> None:
@@ -92,7 +94,9 @@ class NativePageIndex:
 
     def request_ensure(self, req: int, new_offset: int, page_size: int) -> None:
         if self._lib.pa_request_ensure(self._h, req, new_offset, page_size) < 0:
-            raise RuntimeError(f"page pool exhausted ({self.num_pages} pages)")
+            from ..kv.paged import PoolExhausted
+
+            raise PoolExhausted(f"page pool exhausted ({self.num_pages} pages)")
 
     def request_advance(self, req: int, n: int) -> None:
         self._lib.pa_request_advance(self._h, req, n)

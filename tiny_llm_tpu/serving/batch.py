@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .metrics import ServingMetrics
+from ..kv.paged import PoolExhausted
 from ..ops.sampler import make_sampler
 
 
@@ -203,9 +204,7 @@ def batch_generate(
                         arrival_t=start,  # offline batch: all at t=0
                     )
                     next_idx += 1
-                except RuntimeError as e:
-                    if "page pool exhausted" not in str(e):
-                        raise
+                except PoolExhausted as e:
                     # Pool backpressure: put the prompt back and let the
                     # active requests retire and free pages before
                     # retrying admission. A pool that cannot fit the
