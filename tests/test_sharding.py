@@ -165,6 +165,121 @@ def test_expert_parallel_moe_matches_single_device():
     assert_allclose(got, base, jnp.bfloat16, atol=5e-2)
 
 
+def _a3b_shaped_config(layers=2):
+    """30B-A3B architecture scaled down: GQA (8q/4kv) + QK-norm + MoE on
+    every layer, head/expert/feature counts divisible for a
+    (dp=1, ep=2, tp=4) mesh — the north-star config-#5 shape."""
+    return Qwen3Config(
+        num_hidden_layers=layers,
+        hidden_size=256,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        head_dim=64,
+        intermediate_size=512,
+        vocab_size=512,
+        rope_theta=10000.0,
+        max_position_embeddings=128,
+        num_experts=8,
+        num_experts_per_tok=2,
+        moe_intermediate_size=512,
+        norm_topk_prob=True,
+    )
+
+
+@pytest.mark.parametrize("quantized", [False, True], ids=["dense", "quant"])
+def test_composed_ep_tp_moe_matches_single_device(quantized):
+    """Round-5 (VERDICT r4 weak #5): composed EP x TP — experts sharded
+    over a dedicated `ep` mesh axis AND each expert's rows/cols sharded
+    over `tp`, attention TP-sharded on the same mesh. Full-forward and
+    decoded-KV-step logits must match single-device execution."""
+    cfg = _a3b_shaped_config()
+    params = random_params(cfg, key=6, quantized=quantized)
+    single = Qwen3Model(params, cfg, max_seq_len=32, attn_impl="xla")
+    tokens = jnp.asarray([[5, 3, 8, 1]], jnp.int32)
+    base = np.asarray(single.forward_full(tokens), np.float32)
+
+    mesh = make_mesh(dp=1, ep=2, tp=4)
+    assert mesh.shape == {"dp": 1, "ep": 2, "tp": 4}
+    scfg = ShardingConfig(mesh, ep_axis="ep")
+    model = Qwen3Model(
+        shard_params(params, scfg), cfg, max_seq_len=32, attn_impl="xla"
+    )
+    got = np.asarray(model.forward_full(tokens), np.float32)
+    assert_allclose(got, base, jnp.bfloat16, atol=5e-2)
+
+    # Decode step with the TP-sharded KV slab (heads on tp).
+    sc = single.create_kv_cache()
+    single(tokens, 0, sc)
+    base_step = np.asarray(
+        single(jnp.asarray([[7]], jnp.int32), 4, sc, logits_to_keep=1),
+        np.float32,
+    )
+    mc = model.create_kv_cache()
+    kv_shard = NamedSharding(mesh, kv_cache_spec(scfg))
+    mc.keys = jax.device_put(mc.keys, kv_shard)
+    mc.values = jax.device_put(mc.values, kv_shard)
+    model(tokens, 0, mc)
+    got_step = np.asarray(
+        model(jnp.asarray([[7]], jnp.int32), 4, mc, logits_to_keep=1),
+        np.float32,
+    )
+    assert_allclose(got_step, base_step, jnp.bfloat16, atol=5e-2)
+
+
+def test_composed_ep_tp_specs_place_expert_and_feature_axes():
+    """The composed spec must put the expert axis on ep and the per-expert
+    feature axes on tp (gate/up row-parallel, down column-parallel)."""
+    cfg = _a3b_shaped_config(layers=1)
+    params = random_params(cfg, key=6, quantized=False)
+    mesh = make_mesh(dp=1, ep=2, tp=4)
+    specs = param_shardings(params, ShardingConfig(mesh, ep_axis="ep"))
+    mlp = specs.layers[0].mlp
+    assert mlp.w_gate == P("ep", "tp", None)
+    assert mlp.w_up == P("ep", "tp", None)
+    assert mlp.w_down == P("ep", None, "tp")
+    # Without ep_axis the round-1 rule stands: experts over tp alone.
+    specs1 = param_shardings(params, ShardingConfig(make_mesh(dp=1, tp=8)))
+    assert specs1.layers[0].mlp.w_gate == P("tp", None, None)
+
+
+def test_speculative_under_composed_ep_tp_target():
+    """North-star pairing: speculative decoding with a small dense draft
+    under the EP x TP-sharded MoE target. Greedy speculation is lossless,
+    so the emitted text must token-equal BOTH the sharded target's own
+    greedy continuation and the single-device speculative run."""
+    from tiny_llm_tpu.generate import (
+        simple_generate_with_kv_cache,
+        speculative_generate,
+    )
+    from tiny_llm_tpu.models import tiny_test_config
+    from .utils import FakeTokenizer
+
+    cfg = _a3b_shaped_config()
+    params = random_params(cfg, key=8, quantized=False)
+    dcfg = tiny_test_config(num_hidden_layers=1)
+    draft = Qwen3Model(random_params(dcfg, key=9), dcfg, max_seq_len=64)
+    tok = FakeTokenizer()
+
+    single = Qwen3Model(params, cfg, max_seq_len=64, attn_impl="xla")
+    want_greedy = simple_generate_with_kv_cache(single, tok, "hello", max_tokens=8)
+    want_spec = speculative_generate(
+        draft, single, tok, tok, "hello", proposal_length=3, max_tokens=8,
+        auto_disable=False,
+    )
+    assert want_spec == want_greedy  # losslessness on the single device
+
+    mesh = make_mesh(dp=1, ep=2, tp=4)
+    scfg = ShardingConfig(mesh, ep_axis="ep")
+    target = Qwen3Model(
+        shard_params(params, scfg), cfg, max_seq_len=64, attn_impl="xla"
+    )
+    got = speculative_generate(
+        draft, target, tok, tok, "hello", proposal_length=3, max_tokens=8,
+        auto_disable=False,
+    )
+    assert got == want_spec
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver's dryrun hook must compile+run on the virtual mesh."""
     import importlib.util, pathlib

@@ -39,6 +39,12 @@ class ShardingConfig:
     mesh: Mesh
     tp_axis: str = "tp"
     dp_axis: str = "dp"
+    # Composed EP x TP (round-5): when set (e.g. "ep" on a (dp, ep, tp)
+    # mesh), MoE expert stacks shard their EXPERT axis here while each
+    # expert's out/in features shard over tp_axis — the north-star
+    # 30B-A3B pairing. When None, experts shard over tp_axis alone
+    # (round-1 behavior, EP and TP mutually exclusive per layer).
+    ep_axis: str | None = None
 
 
 def _qt_spec(row: Any, col: Any, layout: str = "sg") -> dict[str, P]:
@@ -114,6 +120,24 @@ def param_shardings(params: Qwen3Params, cfg: ShardingConfig):
                 "cannot TP-shard fused gate/up params: shard unfused params."
             )
         if isinstance(mlp, MoEParams):
+            if cfg.ep_axis is not None:
+                # Composed EP x TP: experts over ep, and WITHIN each
+                # expert Megatron-style TP — gate/up row-parallel
+                # (moe_intermediate over tp), down column-parallel
+                # (in_features over tp; GSPMD inserts the psum).
+                return dataclasses.replace(
+                    mlp,
+                    w_router=_spec_for_linear("w_router", mlp.w_router, None, None),
+                    w_gate=_spec_for_linear(
+                        "w_gate", mlp.w_gate, tp, None, expert=cfg.ep_axis
+                    ),
+                    w_up=_spec_for_linear(
+                        "w_up", mlp.w_up, tp, None, expert=cfg.ep_axis
+                    ),
+                    w_down=_spec_for_linear(
+                        "w_down", mlp.w_down, None, tp, expert=cfg.ep_axis
+                    ),
+                )
             return dataclasses.replace(
                 mlp,
                 w_router=_spec_for_linear("w_router", mlp.w_router, None, None),
