@@ -135,7 +135,7 @@ def _decode_kernel_masked(
     q_ref,  # [1, 1, n_rep, L, D]
     k_ref,  # [1, 1, BS, D]
     v_ref,
-    mask_ref,  # [1, L, BS] f32 additive
+    mask_ref,  # [1, L, BS] f32 additive; per_head: [1, 1, n_rep, L, BS]
     o_ref,
     m_ref,
     l_ref,
@@ -143,11 +143,14 @@ def _decode_kernel_masked(
     *,
     bs: int,
     scale: float,
+    per_head: bool = False,
 ):
     """Decode kernel with an EXPLICIT additive mask streamed as a third
     tiled input (reference week2 decode kernel contract,
     week2_kernels.py:98-147 / week2_kernels.metal:119-235): the mask
-    replaces causality; the per-row length still bounds visibility."""
+    replaces causality; the per-row length still bounds visibility.
+    per_head=True streams one mask block per KV-head group ([B, Hq, L, S]
+    masks, round-5 — previously routed to the XLA twin)."""
     b = pl.program_id(0)
     s = pl.program_id(2)
     n_rep, L, D = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
@@ -165,8 +168,11 @@ def _decode_kernel_masked(
         q = q_ref[0, 0].reshape(R, D).astype(jnp.float32) * scale
         # Explicit mask governs causality; length-only clamp here.
         q_pos = jnp.broadcast_to(ctx - 1, (R, 1))
-        mk = mask_ref[0].astype(jnp.float32)  # [L, BS]
-        mk = jnp.broadcast_to(mk[None], (n_rep, L, bs)).reshape(R, bs)
+        if per_head:
+            mk = mask_ref[0, 0].astype(jnp.float32).reshape(R, bs)
+        else:
+            mk = mask_ref[0].astype(jnp.float32)  # [L, BS]
+            mk = jnp.broadcast_to(mk[None], (n_rep, L, bs)).reshape(R, bs)
         _flash_inner(
             q, k_ref[0, 0], v_ref[0, 0], q_pos, s * bs,
             m_ref, l_ref, acc_ref, mask_tile=mk,
@@ -214,6 +220,10 @@ def _flash_decode(
         last = jnp.maximum((lens_ref[b] + bs - 1) // bs - 1, 0)
         return (b, 0, jnp.minimum(s, last))
 
+    def mask_map_h(b, h, s, lens_ref):
+        last = jnp.maximum((lens_ref[b] + bs - 1) // bs - 1, 0)
+        return (b, h, 0, 0, jnp.minimum(s, last))
+
     in_specs = [
         pl.BlockSpec((1, 1, n_rep, L, D), q_map),
         pl.BlockSpec((1, 1, bs, D), kv_map),
@@ -221,12 +231,26 @@ def _flash_decode(
     ]
     inputs = [lens.astype(jnp.int32), q.reshape(B, Hkv, n_rep, L, D), k, v]
     if mask is not None:
-        assert mask.shape == (B, L, S), mask.shape
-        if S % bs:
-            mask = jnp.pad(mask, ((0, 0), (0, 0), (0, n_tiles * bs - S)))
-        in_specs.append(pl.BlockSpec((1, L, bs), mask_map))
+        per_head = mask.ndim == 4
+        if per_head:
+            # [B, Hq, L, S]: one mask block per (request, KV-head group),
+            # streamed alongside the KV tiles (round-5; was XLA-only).
+            assert mask.shape == (B, Hq, L, S), mask.shape
+            mask = mask.reshape(B, Hkv, n_rep, L, S)
+            if S % bs:
+                mask = jnp.pad(
+                    mask, ((0, 0),) * 4 + ((0, n_tiles * bs - S),)
+                )
+            in_specs.append(pl.BlockSpec((1, 1, n_rep, L, bs), mask_map_h))
+        else:
+            assert mask.shape == (B, L, S), mask.shape
+            if S % bs:
+                mask = jnp.pad(mask, ((0, 0), (0, 0), (0, n_tiles * bs - S)))
+            in_specs.append(pl.BlockSpec((1, L, bs), mask_map))
         inputs.append(mask.astype(jnp.float32))
-        kernel = functools.partial(_decode_kernel_masked, bs=bs, scale=scale)
+        kernel = functools.partial(
+            _decode_kernel_masked, bs=bs, scale=scale, per_head=per_head
+        )
     else:
         kernel = functools.partial(_decode_kernel, bs=bs, scale=scale)
 
@@ -379,7 +403,7 @@ def _prefill_kernel_masked(
     q_ref,  # [1, 1, BQ, D]
     k_ref,  # [1, 1, BS, D]
     v_ref,
-    mask_ref,  # [1, BQ, BS] f32 additive
+    mask_ref,  # [1, BQ, BS] f32 additive; per_head: [1, 1, BQ, BS]
     o_ref,  # [1, 1, BQ, D]
     m_ref,
     l_ref,
@@ -389,10 +413,13 @@ def _prefill_kernel_masked(
     bs: int,
     L: int,
     scale: float,
+    per_head: bool = False,
 ):
     """Prefill kernel with an explicit additive mask streamed as a third
     tiled input: the mask replaces causality (reference
-    week2_kernels.py:60-95), the per-row length still bounds visibility."""
+    week2_kernels.py:60-95), the per-row length still bounds visibility.
+    per_head=True streams the (b, h, iq, s) block of a [B, Hq, L, S]
+    mask (round-5 — the prefill grid is already per-q-head)."""
     b = pl.program_id(0)
     s = pl.program_id(3)
     BQ, D = q_ref.shape[2], q_ref.shape[3]
@@ -408,7 +435,7 @@ def _prefill_kernel_masked(
     def _():
         q = q_ref[0, 0].astype(jnp.float32) * scale
         q_pos = jnp.broadcast_to(ctx - 1, (BQ, 1))
-        mk = mask_ref[0].astype(jnp.float32)  # [BQ, BS]
+        mk = (mask_ref[0, 0] if per_head else mask_ref[0]).astype(jnp.float32)
         _flash_inner(
             q, k_ref[0, 0], v_ref[0, 0], q_pos, s * bs,
             m_ref, l_ref, acc_ref, mask_tile=mk,
@@ -507,6 +534,10 @@ def _flash_prefill(
         last = jnp.maximum((lens_ref[b] + bs - 1) // bs - 1, 0)
         return (b, iq, jnp.minimum(s, last))
 
+    def mask_map_h(b, h, iq, s, lens_ref):
+        last = jnp.maximum((lens_ref[b] + bs - 1) // bs - 1, 0)
+        return (b, h, iq, jnp.minimum(s, last))
+
     in_specs = [
         pl.BlockSpec((1, 1, bq, D), q_map),
         pl.BlockSpec((1, 1, bs, D), kv_map),
@@ -514,15 +545,25 @@ def _flash_prefill(
     ]
     inputs = [lens.astype(jnp.int32), q, k, v]
     if mask is not None:
-        assert mask.shape == (B, L, S), mask.shape
+        per_head = mask.ndim == 4
         pad_l = nq * bq - L
         pad_s = ns * bs - S
-        if pad_l or pad_s:
-            mask = jnp.pad(mask, ((0, 0), (0, pad_l), (0, pad_s)))
-        in_specs.append(pl.BlockSpec((1, bq, bs), mask_map))
+        if per_head:
+            assert mask.shape == (B, Hq, L, S), mask.shape
+            if pad_l or pad_s:
+                mask = jnp.pad(
+                    mask, ((0, 0), (0, 0), (0, pad_l), (0, pad_s))
+                )
+            in_specs.append(pl.BlockSpec((1, 1, bq, bs), mask_map_h))
+        else:
+            assert mask.shape == (B, L, S), mask.shape
+            if pad_l or pad_s:
+                mask = jnp.pad(mask, ((0, 0), (0, pad_l), (0, pad_s)))
+            in_specs.append(pl.BlockSpec((1, bq, bs), mask_map))
         inputs.append(mask.astype(jnp.float32))
         kernel = functools.partial(
-            _prefill_kernel_masked, bq=bq, bs=bs, L=L, scale=scale
+            _prefill_kernel_masked, bq=bq, bs=bs, L=L, scale=scale,
+            per_head=per_head,
         )
     else:
         kernel = functools.partial(
@@ -716,17 +757,21 @@ def flash_attention_pallas(
         # Explicit additive masks stream through the kernels as a third
         # tiled input (VERDICT round-2 item #6; reference decode kernel
         # contract week2_kernels.py:98-147). Canonical shapes per
-        # flash_attention.normalize_mask; per-head masks ([B, H>1, L, S])
-        # stay on the XLA twin (no known caller; would multiply the
-        # kernel's mask traffic by H).
-        from .flash_attention import flash_attention, normalize_mask
+        # flash_attention.normalize_mask. Per-head masks ([B, Hq, L, S])
+        # stream one block per (request, head group) — round 5; they cost
+        # Hq x the shared mask's HBM traffic, which is inherent to the
+        # shape, not to this path (the former XLA twin read the same).
+        from .flash_attention import normalize_mask
 
         m4 = normalize_mask(mask, B, L, S)
         if m4.shape[1] != 1:
-            return flash_attention(
-                q, k, v, scale=scale, mask=mask, lens=lens, impl="xla"
-            )
-        mask_arr = jnp.broadcast_to(m4[:, 0], (B, L, S))
+            if m4.shape[1] != Hq:
+                raise ValueError(
+                    f"per-head mask head axis {m4.shape[1]} != Hq {Hq}"
+                )
+            mask_arr = m4  # [B, Hq, L, S]
+        else:
+            mask_arr = jnp.broadcast_to(m4[:, 0], (B, L, S))
         causal = False
     if L <= 16:
         return _flash_decode(
