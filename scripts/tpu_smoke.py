@@ -56,6 +56,29 @@ def smoke_flash_decode():
     _close(got, want)
 
 
+def smoke_per_head_mask():
+    """Round-5: [B, Hq, L, S] masks stream through the Pallas kernels
+    (prefill AND decode) instead of the XLA twin."""
+    from tiny_llm_tpu.kernels.flash_attention import flash_attention
+    from tiny_llm_tpu.kernels.flash_attention_pallas import flash_attention_pallas
+
+    rng = np.random.default_rng(21)
+    B, Hq, Hkv, D, S = 2, 8, 4, 64, 128
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.bfloat16)
+    for L in (1, 32):
+        q = jnp.asarray(rng.normal(size=(B, Hq, L, D)), jnp.bfloat16)
+        q_pos = S - L + np.arange(L)[:, None]
+        k_pos = np.arange(S)[None, :]
+        m = np.empty((B, Hq, L, S), np.float32)
+        for h in range(Hq):
+            vis = (k_pos <= q_pos) & (k_pos > q_pos - (8 + 8 * h))
+            m[:, h] = np.where(vis, 0.0, -1e30) + rng.normal(size=(B, L, S)) * 0.3
+        got = flash_attention_pallas(q, k, v, mask=jnp.asarray(m))
+        want = flash_attention(q, k, v, mask=jnp.asarray(m), impl="xla")
+        _close(got, want)
+
+
 def _paged_setup(P=16, Hkv=4, ps=16, D=64, B=2, Hq=8, L=1, seed=2):
     rng = np.random.default_rng(seed)
     kp = jnp.asarray(rng.normal(size=(P, Hkv, ps, D)), jnp.bfloat16)
@@ -351,6 +374,7 @@ def smoke_axpby():
 SMOKES = [
     ("flash_prefill", smoke_flash_prefill),
     ("flash_decode", smoke_flash_decode),
+    ("per_head_mask", smoke_per_head_mask),
     ("paged_decode", smoke_paged_decode),
     ("paged_decode_gather", smoke_paged_decode_gather),
     ("paged_decode_pages", smoke_paged_decode_pages),

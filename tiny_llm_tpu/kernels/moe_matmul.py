@@ -249,8 +249,16 @@ def _gqmm_magic_block_sizes(T: int, N: int, K: int, G: int, sb_bytes: int):
     schedule's real per-visit working set is only the double-buffered
     packed/scale/bias blocks, the x block, and the f32 accumulator —
     so prefer ONE whole-expert block (bn = N, the same whole-transfer
-    idiom that fixed paged decode in paged_flash_decode_pages) and halve
-    only if that working set would not double-buffer within budget."""
+    idiom that fixed paged decode in paged_flash_decode_pages) for
+    moderate N, and for wide N the largest clean divisor in the
+    measured sweet spot: the down projection (N=2048) ran 1052 GB/s at
+    bn=512 but only ~480 at bn=2048 (same-session A/B,
+    benchmark_results/v5e-moe-gather-ab-r5wide / round-3 ab JSONs) —
+    past ~768 lanes a single visit stops overlapping with the grid
+    pipeline. Both observed optima (gate/up 768, down 512) follow from:
+    bn = N when N <= 768, else the largest 128-multiple divisor of N
+    that is <= 768; always shrunk further if the double-buffered
+    working set would blow the VMEM budget."""
     if T <= 16:
         bm = 16
     elif T <= 64:
@@ -267,7 +275,12 @@ def _gqmm_magic_block_sizes(T: int, N: int, K: int, G: int, sb_bytes: int):
         )
 
     budget = 12 * 1024 * 1024
-    bn = N
+    if N <= 768:
+        bn = N
+    else:
+        bn = next(
+            (d for d in (768, 640, 512, 384, 256, 128) if N % d == 0), 768
+        )
     while bn > 128 and working_set(bn) > budget:
         bn = -(-((bn + 1) // 2) // 128) * 128  # halve, lane-aligned up
     return bm, min(bn, N)
