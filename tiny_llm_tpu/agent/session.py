@@ -330,13 +330,11 @@ class SessionLog:
 
     # -- loading -------------------------------------------------------------
     @staticmethod
-    def load(path: str) -> "SessionLog":
-        """Load a log, truncating a torn final line and validating the
-        id/parent chain (partial-tail recovery, session.py:870-918)."""
+    def _parse_chain(raw: bytes) -> tuple[list[SessionEvent], int]:
+        """Parse the longest valid event-chain prefix; returns
+        (events, byte offset of the first torn/absent line)."""
         events: list[SessionEvent] = []
         good_offset = 0
-        with open(path, "rb") as f:
-            raw = f.read()
         offset = 0
         for line in raw.split(b"\n"):
             if not line:
@@ -356,9 +354,42 @@ class SessionLog:
             events.append(ev)
             offset += len(line) + 1
             good_offset = offset
+        return events, good_offset
+
+    @staticmethod
+    def load(path: str) -> "SessionLog":
+        """Load a log, truncating a torn final line and validating the
+        id/parent chain (partial-tail recovery, session.py:870-918).
+
+        The read happens under a SHARED flock: append() commits events
+        under LOCK_EX (write+fsync), so an unlocked reader racing a
+        cross-process appender could observe a half-written line and
+        "recover" it as a torn tail — TRUNCATING an event the writer
+        already fsync'd (round-5 multi-process hardening; the
+        multiprocess suite hammers this interleaving). Truncation of a
+        genuinely torn tail re-reads under LOCK_EX so the verdict is
+        reached on bytes no live writer is mid-way through."""
+        with open(path, "rb") as f:
+            fcntl.flock(f.fileno(), fcntl.LOCK_SH)
+            try:
+                raw = f.read()
+            finally:
+                fcntl.flock(f.fileno(), fcntl.LOCK_UN)
+        events, good_offset = SessionLog._parse_chain(raw)
         if good_offset < len(raw):
+            # Torn tail observed. Re-verify under the exclusive lock (a
+            # concurrent writer may have been mid-append) and truncate
+            # only what is STILL torn with every writer excluded.
             with open(path, "r+b") as f:
-                f.truncate(good_offset)
+                fcntl.flock(f.fileno(), fcntl.LOCK_EX)
+                try:
+                    f.seek(0)
+                    raw = f.read()
+                    events, good_offset = SessionLog._parse_chain(raw)
+                    if good_offset < len(raw):
+                        f.truncate(good_offset)
+                finally:
+                    fcntl.flock(f.fileno(), fcntl.LOCK_UN)
         SessionLog._validate_links(events)
         log = SessionLog.__new__(SessionLog)
         log.path = path
