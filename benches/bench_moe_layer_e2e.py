@@ -104,24 +104,30 @@ def main():
     per_expert = (I * D // 2 + D * I // 2 + I * D // 2) + 3 * 2 * 16 * max(I, D)
     results = {}
     print(f"B={B} topk={TOPK} layer E={E} D={D} I={I}", flush=True)
+    # Round-5: the production dispatch IS the walk (see
+    # grouped_quantized_matmul); the gather arm forces the retired
+    # manual-DMA schedule via its env hatch for the ongoing A/B record.
+    import os
+
     for name, setup in [
         ("dispatch", None),
-        ("walk_only", 0),
+        ("gather_forced", "gather"),
         ("xla", "xla"),
     ]:
-        saved = moe_matmul.GATHER_MAX_T
-        if setup == 0:
-            moe_matmul.GATHER_MAX_T = 0
+        if setup == "gather":
+            os.environ["TLT_MOE_DECODE"] = "gather"
         impl = "xla" if setup == "xla" else None
         try:
             dt = slope(impl)
         finally:
-            moe_matmul.GATHER_MAX_T = saved
+            os.environ.pop("TLT_MOE_DECODE", None)
         results[name] = round(dt * 1e6, 1)
         print(f"  {name:10s}: {dt*1e6:9.1f} us/layer-step", flush=True)
-    results["dispatch_vs_walk"] = round(results["walk_only"] / results["dispatch"], 2)
+    results["dispatch_vs_gather"] = round(
+        results["gather_forced"] / results["dispatch"], 2
+    )
     results["dispatch_vs_xla"] = round(results["xla"] / results["dispatch"], 2)
-    print(f"  dispatch vs walk {results['dispatch_vs_walk']}x, "
+    print(f"  dispatch(walk) vs gather {results['dispatch_vs_gather']}x, "
           f"vs xla {results['dispatch_vs_xla']}x", flush=True)
     doc = {"bench": "moe_layer_e2e", "shape": {"E": E, "D": D, "I": I,
            "topk": TOPK, "B": B}, "iters": ITERS,

@@ -311,18 +311,20 @@ def test_grouped_matmul_impl_dispatch_pallas():
     np.testing.assert_allclose(got, ref, rtol=5e-2, atol=8e-2)
 
 
-def test_grouped_matmul_scan_scope_prefers_walk(monkeypatch):
-    """MoE decode dispatch mirrors the paged-decode scan guard: the
-    manual-DMA expert-gather kernel is avoided inside lax.scan bursts
-    (same relay fault class — see the dispatch note), with
-    TLT_MOE_DECODE=gather|walk as the override pair."""
+def test_moe_decode_dispatch_defaults_to_walk(monkeypatch):
+    """Round-5 dispatch flip: the whole-expert BlockSpec walk is the
+    default EVERYWHERE — in and out of lax.scan, every decode shape
+    (same-session layer e2e: walk 257 us vs gather-mixed 331,
+    benchmark_results/v5e-moe-layer-e2e-r5-2026-08-21.json). The
+    manual-DMA gather survives only behind TLT_MOE_DECODE=gather, and
+    only at decode shapes (T <= GATHER_MAX_T)."""
     from tiny_llm_tpu.kernels import moe_matmul
     from tiny_llm_tpu.kernels.paged_attention_pallas import scan_scope
 
     from tiny_llm_tpu.ops.quantize import quantize_stacked
 
     sizes = [2, 1]
-    E, N, K = len(sizes), 64, 128  # K >= N: gather territory
+    E, N, K = len(sizes), 64, 128  # K >= N: the old gather territory
     rng = np.random.default_rng(3)
     w = jnp.asarray(rng.normal(size=(E, N, K)).astype(np.float32) * 0.1)
     stacked = quantize_stacked(w, layout="magic_t")
@@ -339,14 +341,19 @@ def test_grouped_matmul_scan_scope_prefers_walk(monkeypatch):
         lambda *a, **k: calls.append("walk") or jnp.zeros((3, N)),
     )
     moe_matmul.grouped_quantized_matmul(x, stacked, gs)
-    assert calls[-1] == "gather"  # single dispatch keeps the fast path
+    assert calls[-1] == "walk"  # default: walk, no scan guard needed
     with scan_scope():
         moe_matmul.grouped_quantized_matmul(x, stacked, gs)
-        assert calls[-1] == "walk"  # scan burst: fault-safe schedule
+        assert calls[-1] == "walk"  # identical inside scan bursts
         monkeypatch.setenv("TLT_MOE_DECODE", "gather")
         moe_matmul.grouped_quantized_matmul(x, stacked, gs)
-        assert calls[-1] == "gather"  # re-test hatch
+        assert calls[-1] == "gather"  # A/B hatch works even in scan
         monkeypatch.delenv("TLT_MOE_DECODE")
-    monkeypatch.setenv("TLT_MOE_DECODE", "walk")
+    monkeypatch.setenv("TLT_MOE_DECODE", "gather")
     moe_matmul.grouped_quantized_matmul(x, stacked, gs)
-    assert calls[-1] == "walk"  # global downgrade works outside scan
+    assert calls[-1] == "gather"
+    # The hatch never applies above the decode bound.
+    big_x = jnp.asarray(np.ones((moe_matmul.GATHER_MAX_T + 1, K)), jnp.bfloat16)
+    big_gs = jnp.asarray([moe_matmul.GATHER_MAX_T, 1], jnp.int32)
+    moe_matmul.grouped_quantized_matmul(big_x, stacked, big_gs)
+    assert calls[-1] == "walk"

@@ -696,23 +696,25 @@ def grouped_quantized_matmul(
     if qt.k_padded != K:
         x2 = jnp.pad(x2, ((0, 0), (0, qt.k_padded - K)))
     if qt.layout == "magic_t":
-        use_gather = T <= GATHER_MAX_T and K >= qt.out_features
-        if use_gather:
-            # Scan-scope guard: the expert-gather schedule is a manual-DMA
-            # kernel like the paged-decode gather, which probabilistically
-            # faults the relay's TPU worker inside lax.scan decode bursts
-            # under sustained load (PERFORMANCE.md round-4 incident note).
-            # Decode bursts take the BlockSpec walk (1.34x slower at the
-            # 30B-A3B layer step, benchmark_results/v5e-moe-layer-e2e) —
-            # override with TLT_MOE_DECODE=gather to re-test after relay
-            # updates; single-dispatch decode keeps the gather.
-            import os
+        # Round-5 default: the whole-expert BlockSpec walk EVERYWHERE.
+        # History: round 3 introduced the manual-DMA expert gather for
+        # decode (591-759 GB/s when the walk managed only 374 on
+        # gate/up) behind a scan-scope downgrade — the gather shares
+        # the paged-gather kernel's relay fault class inside lax.scan
+        # bursts. Round 5's block chooser (whole-expert / clean <=768
+        # divisor blocks) closed the kernel gap (482 vs 514 GB/s
+        # same-session on gate/up, walk WINS down) and flipped the
+        # layer-step ordering: same-session e2e measured walk-only
+        # 257 us vs gather-mixed dispatch 331 us (benchmark_results/
+        # v5e-moe-layer-e2e-r5-2026-08-21.json). The walk needs no
+        # scan guard, so the dispatch asymmetry is gone.
+        # TLT_MOE_DECODE=gather re-enables the gather at decode shapes
+        # (T <= GATHER_MAX_T) as the A/B hatch; it is read at trace
+        # time, so set it before the first compile (bench-only knob).
+        import os
 
-            from .paged_attention_pallas import _IN_SCAN
-
-            forced = os.environ.get("TLT_MOE_DECODE")
-            if forced == "walk" or (_IN_SCAN[0] and forced != "gather"):
-                use_gather = False
+        forced = os.environ.get("TLT_MOE_DECODE")
+        use_gather = forced == "gather" and T <= GATHER_MAX_T
         fn = _gqmm_gather_pallas if use_gather else _gqmm_magic_pallas
         out = fn(
             x2,
