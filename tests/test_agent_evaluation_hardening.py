@@ -196,6 +196,140 @@ class TestGraderIntegrity:
         assert all(r.detail for r in results)
 
 
+class TestAdversarialVariants:
+    """Round-5 breadth (VERDICT r4 #8): the reference's
+    test_week_4_day_7 adversarial class, re-expressed for this design
+    — sealed-package VCS rejection, grading determinism and
+    frozen-bytes isolation, fail-closed non-finite and escaping-path
+    checks."""
+
+    def test_package_rejects_embedded_git_metadata(self, tmp_path):
+        """A sealed package workspace carrying a .git tree must refuse
+        to stage: VCS metadata is evaluator-visible state, not task
+        content."""
+        pkg = make_package(tmp_path, [{"type": "path_exists", "path": "main.py"}])
+        git = tmp_path / "pkg" / "workspace" / ".git"
+        git.mkdir()
+        (git / "HEAD").write_text("ref: refs/heads/main\n")
+        with pytest.raises(EvaluationError, match="VCS metadata"):
+            StagedTask.stage(pkg)
+
+    def test_candidate_freeze_tolerates_dotfiles(self, tmp_path):
+        """The seal applies to the PACKAGE, not the candidate: an agent
+        creating a .git dir mid-run is skipped (graded tree excludes
+        hidden entries), never an EvaluationError."""
+        pkg = make_package(tmp_path, [{"type": "path_exists", "path": "main.py"}])
+        staged = StagedTask.stage(pkg)
+        git = os.path.join(staged.workdir, ".git")
+        os.makedirs(git)
+        with open(os.path.join(git, "HEAD"), "w") as f:
+            f.write("ref\n")
+        snap = staged.freeze()
+        assert "main.py" in snap.files
+        assert not any(r.startswith(".git") for r in snap.files)
+
+    def test_same_candidate_bytes_grade_identically(self, tmp_path):
+        """grade() is a pure function of the snapshot: equal tree
+        hashes -> byte-identical reports across graders and calls."""
+        checks = [
+            {"type": "python_constant", "path": "main.py", "name": "X",
+             "value": 2},
+            {"type": "path_absent", "path": "gone.txt"},
+        ]
+        pkg = make_package(tmp_path, checks, editable=["main.py"])
+        s1 = StagedTask.stage(pkg)
+        s2 = StagedTask.stage(pkg)
+        for s in (s1, s2):
+            with open(os.path.join(s.workdir, "main.py"), "w") as f:
+                f.write("X = 2\n")
+        snap1, snap2 = s1.freeze(), s2.freeze()
+        assert snap1.tree_hash == snap2.tree_hash
+        r1 = StaticHeldOutGrader(pkg, s1.original).grade(snap1)
+        r2 = StaticHeldOutGrader(pkg, s2.original).grade(snap2)
+        assert [(r.check, r.passed, r.detail) for r in r1] == [
+            (r.check, r.passed, r.detail) for r in r2
+        ]
+
+    def test_grading_uses_frozen_bytes_not_live_workspace(self, tmp_path):
+        """Mutating the staged tree AFTER freeze() must not change the
+        grade: the snapshot owns its bytes."""
+        pkg = make_package(
+            tmp_path,
+            [{"type": "text_equals", "path": "main.py", "value": "X = 1"}],
+        )
+        staged = StagedTask.stage(pkg)
+        snap = staged.freeze()
+        with open(os.path.join(staged.workdir, "main.py"), "w") as f:
+            f.write("X = 666\n")
+        results = StaticHeldOutGrader(pkg, staged.original).grade(snap)
+        assert results[0].passed  # frozen bytes, not the tampered tree
+
+    def test_empty_file_and_missing_file_differ_in_hash(self, tmp_path):
+        pkg = make_package(tmp_path, [])
+        s = StagedTask.stage(pkg)
+        h_base = s.freeze().tree_hash
+        open(os.path.join(s.workdir, "extra"), "w").close()
+        h_empty = s.freeze().tree_hash
+        assert h_base != h_empty
+
+    def test_non_finite_candidate_literal_fails_closed(self, tmp_path):
+        """`X = 1e999` parses to inf; grading against a finite expected
+        value must FAIL the check without crashing the grader, and a
+        nan-producing expression (not a literal) fails as malformed."""
+        pkg = make_package(
+            tmp_path,
+            [{"type": "python_constant", "path": "main.py", "name": "X",
+              "value": 3}],
+            editable=["main.py"],
+        )
+        for payload in ("X = 1e999\n", "X = float('nan')\n"):
+            staged = StagedTask.stage(pkg)
+            with open(os.path.join(staged.workdir, "main.py"), "w") as f:
+                f.write(payload)
+            results = StaticHeldOutGrader(pkg, staged.original).grade(
+                staged.freeze()
+            )
+            const = [r for r in results if r.check.get("type") == "python_constant"]
+            assert len(const) == 1 and not const[0].passed, payload
+
+    def test_escaping_check_paths_fail_closed(self, tmp_path):
+        """Checks whose path tries to escape the snapshot ('../x',
+        absolute) can never match a snapshot entry: path_exists fails,
+        path_absent (vacuously) passes, content checks fail as missing."""
+        pkg = make_package(
+            tmp_path,
+            [
+                {"type": "path_exists", "path": "../task.json"},
+                {"type": "path_absent", "path": "/etc/passwd"},
+                {"type": "text_equals", "path": "../../x", "value": "v"},
+            ],
+        )
+        staged = StagedTask.stage(pkg)
+        results = StaticHeldOutGrader(pkg, staged.original).grade(staged.freeze())
+        by_type = {r.check["type"]: r for r in results[:3]}
+        assert not by_type["path_exists"].passed
+        assert by_type["path_absent"].passed
+        assert not by_type["text_equals"].passed
+
+    def test_malformed_check_fields_fail_that_check_only(self, tmp_path):
+        """A check missing its required field (e.g. json_value without
+        'pointer') fails ITSELF with the error detail; sibling checks
+        still grade. (Fail-closed per check — this design's documented
+        divergence from the reference's load-time config error.)"""
+        pkg = make_package(
+            tmp_path,
+            [
+                {"type": "json_value", "path": "data.json"},  # no pointer
+                {"type": "path_exists", "path": "main.py"},
+            ],
+            workspace={"main.py": "X = 1\n", "data.json": '{"a": 1}'},
+        )
+        staged = StagedTask.stage(pkg)
+        results = StaticHeldOutGrader(pkg, staged.original).grade(staged.freeze())
+        assert not results[0].passed and "KeyError" in results[0].detail
+        assert results[1].passed
+
+
 class TestEditablePaths:
     def _grader(self, tmp_path, editable):
         pkg = make_package(

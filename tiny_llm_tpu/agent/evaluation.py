@@ -37,15 +37,27 @@ class EvaluationError(Exception):
     pass
 
 
-def _walk_tree(root: str) -> dict[str, bytes]:
+def _walk_tree(root: str, sealed: bool = False) -> dict[str, bytes]:
     """Hardened workspace walk: no symlinks, no protected dirs, bounded
-    size/count/depth (reference evaluation.py:178-344)."""
+    size/count/depth (reference evaluation.py:178-344).
+
+    sealed=True (package staging) REJECTS embedded VCS metadata instead
+    of silently skipping it: a task package carrying a .git tree is not
+    inert — clones/checkouts could smuggle evaluator-visible state
+    (reference test class: packages are sealed inert trees). Candidate
+    freezes keep the lenient skip: an agent creating dotfiles mid-run
+    is a graded behavior, not a package defect."""
     out: dict[str, bytes] = {}
     for dirpath, dirnames, filenames in os.walk(root):
         rel_dir = os.path.relpath(dirpath, root)
         depth = 0 if rel_dir == "." else rel_dir.count(os.sep) + 1
         if depth > MAX_DEPTH:
             raise EvaluationError(f"tree deeper than {MAX_DEPTH}: {rel_dir}")
+        if sealed and ".git" in dirnames:
+            raise EvaluationError(
+                f"package workspace embeds VCS metadata: "
+                f"{os.path.join(rel_dir, '.git')}"
+            )
         dirnames[:] = [
             d for d in sorted(dirnames)
             if not d.startswith(".") and not os.path.islink(os.path.join(dirpath, d))
@@ -113,7 +125,7 @@ class StagedTask:
     def stage(package: TaskPackage, workdir: str | None = None) -> "StagedTask":
         """Copy the package workspace byte-exact into a fresh directory."""
         src = os.path.join(package.root, "workspace")
-        original = _walk_tree(src)
+        original = _walk_tree(src, sealed=True)
         workdir = workdir or tempfile.mkdtemp(prefix=f"task-{package.task_id}-")
         for rel, data in original.items():
             dst = os.path.join(workdir, rel)
@@ -129,6 +141,20 @@ class StagedTask:
 @dataclasses.dataclass
 class CandidateSnapshot:
     files: dict[str, bytes]
+
+    @property
+    def tree_hash(self) -> str:
+        """Order-independent digest of (path, bytes): two snapshots with
+        the same hash grade identically (grade() is a pure function of
+        the snapshot — pinned by the determinism tests)."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for rel in sorted(self.files):
+            h.update(rel.encode("utf-8"))
+            h.update(b"\0")
+            h.update(hashlib.sha256(self.files[rel]).digest())
+        return h.hexdigest()
 
 
 @dataclasses.dataclass
