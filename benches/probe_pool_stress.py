@@ -38,14 +38,15 @@ def main() -> None:
     enable_compilation_cache()
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
     cfg = QWEN3_CONFIGS["qwen3-0.6b"]
-    max_seq = 512
+    max_seq = 704
     ps = 64
     model = Qwen3Model(
         synthetic_quantized_params(cfg, key=0), cfg, max_seq_len=max_seq
     )
-    # ~1.5 requests' worth of pages: each ~300-token prompt + 32 outputs
-    # reserves ceil(332/64)+slack pages; 1 trash + 11 usable pages hold
-    # one full request (6) plus a fraction of the next.
+    # ONE request's worth of pages: each ~600-token prompt reserves 10 of
+    # the 11 usable pages (1 is the trash page), so the NEXT admission is
+    # guaranteed to hit PoolExhausted while the first request is live —
+    # deterministic backpressure, not a race with retirements.
     model.enable_paged_attention(num_pages=12, page_size=ps)
     pool = model.page_pool
 
@@ -66,12 +67,12 @@ def main() -> None:
 
     tok = NoEosTok()
     rng = np.random.default_rng(0)
-    prompts = ["x" * int(n) for n in rng.integers(250, 321, size=6)]
+    prompts = ["x" * int(n) for n in rng.integers(560, 621, size=4)]
 
     t0 = time.perf_counter()
     results = batch_generate(
         model, tok, prompts, max_seq_len=max_seq, batch_size=4,
-        prefill_step=64, max_output_tokens=32, decode_burst=8,
+        prefill_step=64, max_output_tokens=16, decode_burst=8,
     )
     wall = time.perf_counter() - t0
 

@@ -47,7 +47,11 @@ class ServingMetrics:
     # produced by the prefill dispatch itself, so TTFT measures queueing
     # + chunked prefill, not burst quantization. admission_ttft excludes
     # scheduler queueing (admission -> first token): the pure prefill
-    # latency a request pays once a slot opens.
+    # latency a request pays once a slot opens. In the OFFLINE campaign
+    # every request arrives at t=0, so ttft percentiles are dominated by
+    # batch-division queueing; the open-loop mode
+    # (batch_generate(arrival_times=...) / bench.py --arrival-rate)
+    # stamps real arrivals, making TTFT a function of offered load.
     ttft_ms: list = dataclasses.field(default_factory=list)
     admission_ttft_ms: list = dataclasses.field(default_factory=list)
     request_latency_ms: list = dataclasses.field(default_factory=list)
