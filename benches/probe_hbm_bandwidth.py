@@ -1,16 +1,18 @@
-"""Direct HBM bandwidth characterization (round-5).
+"""Direct HBM bandwidth characterization (round-5, v2).
 
 The 64K decode rows imply ~1.3 TB/s of KV streaming, above the v5e
-datasheet's 819 GB/s — yet the fused/3-launch logits parity at 64K is
-exact, so nothing is skipped. Either the ledger's bandwidth assumption
-is wrong for this chip (the axon relay labels it "TPU v5 lite") or the
-timing is. This probe measures, with two-point slope inside one jit:
+datasheet's 819 GB/s — yet 64K logits parity is exact, so nothing is
+skipped. Either the bandwidth assumption is wrong for this chip (the
+relay labels it "TPU v5 lite") or the in-model timing is. Measures:
 
-  1. pure HBM streams: bf16 elementwise y = x * c over 1-4 GiB arrays
-     (read + write), and a read-heavy 8-way sum reduction;
-  2. the raw pages-walk decode kernel over 513 pages (~269 MB KV read),
-     with pages passed as ARGUMENTS (a closure bakes 270 MB into the
-     program and trips the relay's HTTP 413 payload cap).
+  1. pure HBM stream: one bf16 multiply per CARRIED fori_loop iteration
+     over 1/4 GiB arrays (cross-iteration dependence defeats constant
+     folding — the v1 probe's in-body chains folded to a single op and
+     read as 500 TB/s);
+  2. the pages-walk decode kernel at 32K (264 pages) and 64K (513
+     pages), pools generated INSIDE the jit (a closure of 270 MB trips
+     the relay's HTTP 413 payload cap; argument-passed operands
+     mis-measure on this relay), chained 12 deep per iteration.
 
 Usage: python benches/probe_hbm_bandwidth.py [out.json]
 """
@@ -24,22 +26,6 @@ import time
 import numpy as np
 
 
-def slope_time(make_run, arg, iters=8):
-    import jax
-
-    t = {}
-    for n in (1, 3):
-        run = make_run(n)
-        jax.block_until_ready(run(arg))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(arg))
-            best = min(best, (time.perf_counter() - t0) / iters)
-        t[n] = best
-    return max((t[3] - t[1]) / 2, 1e-9)
-
-
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -50,99 +36,87 @@ def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
     doc = {"probe": "hbm_bandwidth", "backend": jax.default_backend(),
            "device": str(jax.devices()[0])}
-
-    # --- 1a. read+write stream ----------------------------------------
     rows = []
+
+    # --- 1. read+write stream (carried dependence) --------------------
+    ITERS = 24
     for gib in (1, 4):
         n = gib * (1 << 29)  # bf16 elements
         x = jnp.ones((n,), jnp.bfloat16)
 
-        def make_run(ncalls):
-            @jax.jit
-            def run(x0):
-                def body(i, xx):
-                    for j in range(ncalls):
-                        xx = xx * jnp.bfloat16(1.0000305)
-                    return xx
-
-                return jax.lax.fori_loop(0, 8, body, x0)
-
-            return run
-
-        dt = slope_time(make_run, x)
-        bw = 2 * n * 2 / dt / 1e9  # read + write
-        rows.append({"kind": f"stream_rw_{gib}gib", "us": round(dt * 1e6, 1),
-                     "gb_s": round(bw, 0)})
-        print(f"stream r+w {gib} GiB: {dt*1e6:.0f} us, {bw:.0f} GB/s",
-              flush=True)
-        del x
-
-    # --- 1b. read-dominated reduction ---------------------------------
-    n = 1 << 30  # 2 GiB bf16
-    x = jnp.ones((8, n // 8), jnp.bfloat16)
-
-    def make_red(ncalls):
         @jax.jit
         def run(x0):
-            def body(i, carry):
-                xx, acc = carry
-                for j in range(ncalls):
-                    acc = acc + jnp.sum(xx, axis=1, dtype=jnp.float32)
-                return (xx, acc)
+            def body(i, xx):
+                # One multiply per iteration; the carry dependence keeps
+                # every iteration's full read+write in the program.
+                return xx * jnp.bfloat16(1.0000305)
 
-            _, acc = jax.lax.fori_loop(
-                0, 8, body, (x0, jnp.zeros((8,), jnp.float32))
-            )
-            return acc
+            return jax.lax.fori_loop(0, ITERS, body, x0)
 
-        return run
+        jax.block_until_ready(run(x))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(x))
+            best = min(best, time.perf_counter() - t0)
+        per_iter = best / ITERS
+        bw = 2 * n * 2 / per_iter / 1e9
+        rows.append({"kind": f"stream_rw_{gib}gib",
+                     "us_per_iter": round(per_iter * 1e6, 1),
+                     "gb_s": round(bw, 0)})
+        print(f"stream r+w {gib} GiB: {per_iter*1e6:.0f} us/iter, "
+              f"{bw:.0f} GB/s", flush=True)
+        del x
 
-    dt = slope_time(make_red, x)
-    bw = n * 2 / dt / 1e9
-    rows.append({"kind": "reduce_read_2gib", "us": round(dt * 1e6, 1),
-                 "gb_s": round(bw, 0)})
-    print(f"read reduction 2 GiB: {dt*1e6:.0f} us, {bw:.0f} GB/s", flush=True)
-    del x
-
-    # --- 2. raw pages-walk kernel at 513 pages ------------------------
+    # --- 2. pages walk at 32K and 64K (in-jit pools) ------------------
     from tiny_llm_tpu.kernels.paged_attention_pallas import (
         paged_flash_decode_pages,
     )
 
-    rng = np.random.default_rng(1)
-    P, Hkv, ps, D = 516, 8, 128, 128
-    n_pages = 513
-    kp = jnp.asarray(rng.normal(size=(P, Hkv, ps, D)) * 0.3, jnp.bfloat16)
-    vp = jnp.asarray(rng.normal(size=(P, Hkv, ps, D)) * 0.3, jnp.bfloat16)
-    q0 = jnp.asarray(rng.normal(size=(1, 16, 1, D)) * 0.3, jnp.bfloat16)
-    table = jnp.asarray(
-        rng.permutation(np.arange(1, P))[:n_pages][None, :].astype(np.int32)
-    )
-    lens = jnp.asarray([n_pages * ps - 11], jnp.int32)
-    sc = D**-0.5
+    Hkv, ps, D = 8, 128, 128
+    CHAIN, LOOPS = 12, 4
+    for label, n_pages in (("32k", 264), ("64k", 513)):
+        P = n_pages + 3
+        rng = np.random.default_rng(1)
+        table = jnp.asarray(
+            rng.permutation(np.arange(1, P))[:n_pages][None, :].astype(np.int32)
+        )
+        lens = jnp.asarray([n_pages * ps - 11], jnp.int32)
+        q0 = jnp.asarray(rng.normal(size=(1, 16, 1, D)) * 0.3, jnp.bfloat16)
+        sc = D**-0.5
 
-    def make_kernel_run(ncalls):
         @jax.jit
-        def run(args):
-            qq, kpp, vpp = args
+        def run(qq):
+            key = jax.random.PRNGKey(0)
+            kp = jax.random.normal(key, (P, Hkv, ps, D), jnp.bfloat16)
+            vp = jax.random.normal(
+                jax.random.PRNGKey(1), (P, Hkv, ps, D), jnp.bfloat16
+            )
 
             def body(i, q_in):
-                for _ in range(ncalls):
-                    o = paged_flash_decode_pages(q_in, kpp, vpp, table, lens, sc)
-                    q_in = q_in + (o * 1e-3).astype(q_in.dtype)
+                for _ in range(CHAIN):
+                    o = paged_flash_decode_pages(q_in, kp, vp, table, lens, sc)
+                    q_in = (q_in + o * 1e-3).astype(jnp.bfloat16)
                 return q_in
 
-            return jax.lax.fori_loop(0, 8, body, qq)
+            return jax.lax.fori_loop(0, LOOPS, body, qq)
 
-        return run
+        jax.block_until_ready(run(q0))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(q0))
+            best = min(best, time.perf_counter() - t0)
+        per_call = best / (CHAIN * LOOPS)
+        kv_bytes = 2 * n_pages * ps * Hkv * D * 2
+        rows.append({"kind": f"pages_walk_{label}", "pages": n_pages,
+                     "us_per_call": round(per_call * 1e6, 1),
+                     "gb_s": round(kv_bytes / per_call / 1e9, 0),
+                     "kv_mb": round(kv_bytes / 1e6, 0)})
+        print(f"pages walk {label} ({n_pages}p): {per_call*1e6:.0f} us/call, "
+              f"{kv_bytes/per_call/1e9:.0f} GB/s over {kv_bytes/1e6:.0f} MB",
+              flush=True)
 
-    dt = slope_time(make_kernel_run, (q0, kp, vp))
-    kv_bytes = 2 * n_pages * ps * Hkv * D * 2
-    rows.append({"kind": "pages_walk_513p", "us": round(dt * 1e6, 1),
-                 "gb_s": round(kv_bytes / dt / 1e9, 0),
-                 "kv_mb": round(kv_bytes / 1e6, 0)})
-    print(f"pages walk 513p: {dt*1e6:.0f} us/call, "
-          f"{kv_bytes/dt/1e9:.0f} GB/s over {kv_bytes/1e6:.0f} MB", flush=True)
     doc["rows"] = rows
     print(json.dumps(doc))
     if out_path:
