@@ -328,6 +328,16 @@ def test_every_exhaustion_path_raises_pool_exhausted_type():
     except Exception:
         pytest.skip("native allocator unavailable")
     drain(native_pool)
+    # The native RESERVATION path (request_ensure — what Request() hits
+    # at admission) must raise the same type, not a bare RuntimeError:
+    # it bypasses allocate_page entirely (csrc/page_allocator.cpp).
+    from tiny_llm_tpu.kv.paged import PagedKVCache
+
+    pool2 = PagePool(**common, native=True)
+    cache = PagedKVCache(pool2)
+    with pytest.raises(PoolExhausted):
+        cache.ensure_capacity(pool2.num_pages * 8 * 2)
+    cache.release()
 
 
 def test_pool_too_small_for_any_prompt_raises():
