@@ -44,13 +44,15 @@ def main() -> None:
     NK = N // BN
     total_bytes = M * W * N * 4
 
-    def consume_kernel(w_ref, o_ref, acc_ref, *, dequant: bool):
+    def consume_kernel(seed_ref, w_ref, o_ref, acc_ref, *, dequant: bool):
         i = pl.program_id(0)
         j = pl.program_id(1)
 
         @pl.when((i == 0) & (j == 0))
         def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
+            # The varying seed makes every call distinct, defeating the
+            # CSE/hoisting that zeroed the v2 measurements.
+            acc_ref[:] = jnp.full_like(acc_ref, seed_ref[0, 0] * 1e-9)
 
         w = w_ref[...].reshape(W, BN)
         if dequant:
@@ -72,14 +74,13 @@ def main() -> None:
         def _():
             o_ref[:] = acc_ref[:]
 
-    rng = np.random.default_rng(0)
-    flat = rng.integers(0, 2**32, size=(M, W, N), dtype=np.uint32)
-    w_strided = jnp.asarray(flat)
-    w_contig = jnp.asarray(
-        flat.reshape(M, W, NK, BN).transpose(0, 2, 1, 3).copy()
-    )
+    # Arrays are generated INSIDE the jit (random bits): a 536 MB closure
+    # trips the relay's HTTP 413 payload cap, and layout — not values —
+    # is what the experiment varies.
+    strided_shape = (M, W, N)
+    contig_shape = (M, NK, W, BN)
 
-    def build(arr, blocked: bool, dequant: bool):
+    def build(arr, blocked: bool, dequant: bool, seed):
         if blocked:
             spec = pl.BlockSpec((1, 1, W, BN), lambda i, j: (i, j, 0, 0))
         else:
@@ -87,23 +88,25 @@ def main() -> None:
         return pl.pallas_call(
             functools.partial(consume_kernel, dequant=dequant),
             grid=(M, NK),
-            in_specs=[spec],
+            in_specs=[pl.BlockSpec((1, 1), lambda i, j: (0, 0)), spec],
             out_specs=pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
             scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
-        )(arr)
+        )(seed.reshape(1, 1), arr)
 
-    def timed(arr, blocked, dequant):
+    def timed(shape, blocked, dequant):
         def make_run(ncalls):
             @jax.jit
             def run(seed):
+                arr = jax.random.bits(
+                    jax.random.PRNGKey(0), shape, jnp.uint32
+                )
+
                 def body(t, carry):  # noqa
                     s = carry
                     for c in range(ncalls):
-                        o = build(
-                            arr if not blocked else arr, blocked, dequant
-                        )
-                        s = s + jnp.sum(o) * (t + c + 1).astype(jnp.float32)
+                        o = build(arr, blocked, dequant, s + t.astype(jnp.float32))
+                        s = s + jnp.sum(o) * 1e-6
                     return s
 
                 return jax.lax.fori_loop(0, 4, body, seed)
@@ -113,24 +116,26 @@ def main() -> None:
         t = {}
         for n in (1, 5):
             run = make_run(n)
-            jax.block_until_ready(run(jnp.float32(0)))
+            # device_get, NOT block_until_ready: the latter returns
+            # before remote completion on this relay (probe_sync.py).
+            jax.device_get(run(jnp.float32(0)))
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(run(jnp.float32(0)))
+                jax.device_get(run(jnp.float32(0)))
                 best = min(best, (time.perf_counter() - t0) / 4)
             t[n] = best
         return max((t[5] - t[1]) / 4, 1e-9), t[1], t[5]
 
     doc = {"probe": "weight_stream", "bytes_per_pass": total_bytes}
     rows = []
-    for label, arr, blocked, dequant in [
-        ("strided_stream", w_strided, False, False),
-        ("contig_stream", w_contig, True, False),
-        ("contig_dequant", w_contig, True, True),
-        ("strided_dequant", w_strided, False, True),
+    for label, shape, blocked, dequant in [
+        ("strided_stream", strided_shape, False, False),
+        ("contig_stream", contig_shape, True, False),
+        ("contig_dequant", contig_shape, True, True),
+        ("strided_dequant", strided_shape, False, True),
     ]:
-        dt, t1, t3 = timed(arr, blocked, dequant)
+        dt, t1, t3 = timed(shape, blocked, dequant)
         gbs = total_bytes / dt / 1e9
         rows.append({"arm": label, "us_per_pass": round(dt * 1e6, 1),
                      "gb_s": round(gbs, 0),
