@@ -33,6 +33,14 @@ BENCH_MODULES = [
     "bench_8b_32k",
     "probe_fatn",
     "probe_fused_attn",
+    # round 5
+    "probe_pool_stress",
+    "probe_64k_coverage",
+    "probe_64k_logits",
+    "probe_fused_64k_parity",
+    "probe_hbm_bandwidth",
+    "probe_weight_stream",
+    "probe_trace_64k",
 ]
 
 
