@@ -44,7 +44,7 @@ def main() -> None:
     NK = N // BN
     total_bytes = M * W * N * 4
 
-    def consume_kernel(seed_ref, w_ref, o_ref, acc_ref, *, dequant: bool):
+    def consume_kernel(seed_ref, w_ref, o_ref, acc_ref, *, mode: str):
         i = pl.program_id(0)
         j = pl.program_id(1)
 
@@ -55,7 +55,9 @@ def main() -> None:
             acc_ref[:] = jnp.full_like(acc_ref, seed_ref[0, 0] * 1e-9)
 
         w = w_ref[...].reshape(W, BN)
-        if dequant:
+        if mode == "dequant":
+            # The production magic extraction (~2 VPU ops/value) plus
+            # an fp32 consume (~3 more) — the ~5 ops/value point.
             mask = jnp.uint32(0x000F000F)
             magic = jnp.uint32(0x43004300)
             s = jnp.zeros((W, BN), jnp.float32)
@@ -64,11 +66,37 @@ def main() -> None:
                 v = pltpu.bitcast(t, jnp.bfloat16)  # [2W, BN]
                 s = s + v.astype(jnp.float32)[:W] + v.astype(jnp.float32)[W:]
             acc_ref[:] += jnp.sum(s.reshape(-1, 8, 128), axis=0)
-        else:
+        elif mode == "stream":
+            # ~1.25 VPU ops/value (mask + convert + reduce-add).
             acc_ref[:] += jnp.sum(
                 (w & jnp.uint32(0xFFFF)).astype(jnp.int32).reshape(-1, 8, 128),
                 axis=0,
             ).astype(jnp.float32)
+        elif mode == "mxu":
+            # ZERO elementwise passes: bitcast to bf16 and consume with
+            # one MXU dot — the attention-style byte path.
+            v = pltpu.bitcast(w, jnp.bfloat16)  # [2W, BN]
+            ones = jnp.ones((8, 2 * W), jnp.bfloat16)
+            acc_ref[:, :BN if BN <= 128 else 128] += jax.lax.dot_general(
+                ones, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:, :128]
+        elif mode == "int8":
+            # Nibble-PAIR extraction (~0.6 VPU ops/value incl. bitcasts)
+            # + s8 MXU dots: next round's W4A8-style consumption.
+            m4 = jnp.uint32(0x0F0F0F0F)
+            e0 = pltpu.bitcast(w & m4, jnp.int8)  # [4W, BN]
+            e1 = pltpu.bitcast((w >> 4) & m4, jnp.int8)
+            ones = jnp.ones((8, 4 * W), jnp.int8)
+            d0 = jax.lax.dot_general(
+                ones, e0, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            d1 = jax.lax.dot_general(
+                ones, e1, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc_ref[:, :128] += (d0 + d1)[:, :128].astype(jnp.float32)
 
         @pl.when((i == pl.num_programs(0) - 1) & (j == pl.num_programs(1) - 1))
         def _():
@@ -80,13 +108,13 @@ def main() -> None:
     strided_shape = (M, W, N)
     contig_shape = (M, NK, W, BN)
 
-    def build(arr, blocked: bool, dequant: bool, seed):
+    def build(arr, blocked: bool, mode: str, seed):
         if blocked:
             spec = pl.BlockSpec((1, 1, W, BN), lambda i, j: (i, j, 0, 0))
         else:
             spec = pl.BlockSpec((1, W, BN), lambda i, j: (i, 0, j))
         return pl.pallas_call(
-            functools.partial(consume_kernel, dequant=dequant),
+            functools.partial(consume_kernel, mode=mode),
             grid=(M, NK),
             in_specs=[pl.BlockSpec((1, 1), lambda i, j: (0, 0)), spec],
             out_specs=pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
@@ -94,7 +122,7 @@ def main() -> None:
             scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
         )(seed.reshape(1, 1), arr)
 
-    def timed(shape, blocked, dequant):
+    def timed(shape, blocked, mode):
         def make_run(ncalls):
             @jax.jit
             def run(seed):
@@ -105,7 +133,7 @@ def main() -> None:
                 def body(t, carry):  # noqa
                     s = carry
                     for c in range(ncalls):
-                        o = build(arr, blocked, dequant, s + t.astype(jnp.float32))
+                        o = build(arr, blocked, mode, s + t.astype(jnp.float32))
                         s = s + jnp.sum(o) * 1e-6
                     return s
 
@@ -129,13 +157,15 @@ def main() -> None:
 
     doc = {"probe": "weight_stream", "bytes_per_pass": total_bytes}
     rows = []
-    for label, shape, blocked, dequant in [
-        ("strided_stream", strided_shape, False, False),
-        ("contig_stream", contig_shape, True, False),
-        ("contig_dequant", contig_shape, True, True),
-        ("strided_dequant", strided_shape, False, True),
+    for label, shape, blocked, mode in [
+        ("strided_stream", strided_shape, False, "stream"),
+        ("contig_stream", contig_shape, True, "stream"),
+        ("contig_dequant", contig_shape, True, "dequant"),
+        ("strided_dequant", strided_shape, False, "dequant"),
+        ("contig_mxu_consume", contig_shape, True, "mxu"),
+        ("contig_int8_extract", contig_shape, True, "int8"),
     ]:
-        dt, t1, t3 = timed(shape, blocked, dequant)
+        dt, t1, t3 = timed(shape, blocked, mode)
         gbs = total_bytes / dt / 1e9
         rows.append({"arm": label, "us_per_pass": round(dt * 1e6, 1),
                      "gb_s": round(gbs, 0),
