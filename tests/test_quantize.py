@@ -235,3 +235,163 @@ def test_residual_epilogue_matches_post_add():
             np.asarray(fused, np.float32), np.asarray(xla, np.float32),
             atol=0.2, rtol=0.05,
         )
+
+
+# ---------------------------------------------------------------------------
+# pair_t layout (int8 nibble-pair consumption — the round-5 W4A8 path)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_unpack_pair_t_roundtrip():
+    from tiny_llm_tpu.ops.quantize import pack_pair_t, unpack_pair_t
+
+    rng = np.random.default_rng(0)
+    for N, K in [(4, 512), (8, 2560), (3, 1024)]:
+        q = rng.integers(0, 16, size=(N, K), dtype=np.uint32)
+        packed = pack_pair_t(jnp.asarray(q), 128, 4)
+        assert packed.shape == (K // 8, N)
+        out = unpack_pair_t(packed, K, 128, 4)
+        np.testing.assert_array_equal(np.asarray(out), q.astype(np.int32))
+
+
+def test_pair_t_int8_bitcast_extraction_is_k_ordered():
+    """The load-bearing layout property: `word & 0x0F0F0F0F` bitcast to
+    int8 must yield 256 CONSECUTIVE logical-k values (two quant groups as
+    static row slices), `>> 4` the next 256 — this is what lets the
+    kernel run s8 MXU dots with zero reordering."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from tiny_llm_tpu.ops.quantize import pack_pair_t
+
+    K, N = 512, 128
+    # q[n, k] = k % 16 — distinguishable per logical position.
+    q = np.tile((np.arange(K) % 16).astype(np.uint32), (N, 1))
+    packed = pack_pair_t(jnp.asarray(q), 128, 4)  # [64, N]
+
+    def kern(w_ref, lo_ref, hi_ref):
+        m4 = jnp.uint32(0x0F0F0F0F)
+        lo_ref[:] = pltpu.bitcast(w_ref[:] & m4, jnp.int8).astype(jnp.int32)
+        hi_ref[:] = pltpu.bitcast((w_ref[:] >> 4) & m4, jnp.int8).astype(
+            jnp.int32
+        )
+
+    lo, hi = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((256, N), jnp.int32),
+            jax.ShapeDtypeStruct((256, N), jnp.int32),
+        ),
+        interpret=True,
+    )(packed)
+    np.testing.assert_array_equal(np.asarray(lo)[:, 0], np.arange(256) % 16)
+    np.testing.assert_array_equal(
+        np.asarray(hi)[:, 0], (np.arange(256, 512)) % 16
+    )
+
+
+def test_convert_layout_pair_t_exact():
+    from tiny_llm_tpu.ops.quantize import convert_layout
+
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(size=(16, 1024)).astype(np.float32) * 0.05)
+    qt = quantize(w)  # magic_t default
+    qp = convert_layout(qt, "pair_t")
+    assert qp.layout == "pair_t"
+    np.testing.assert_array_equal(
+        np.asarray(dequantize(qt, jnp.float32)),
+        np.asarray(dequantize(qp, jnp.float32)),
+    )
+    # Round trip back: packed bits identical.
+    qm = convert_layout(qp, "magic_t")
+    np.testing.assert_array_equal(np.asarray(qm.packed), np.asarray(qt.packed))
+
+
+@pytest.mark.parametrize("rows", [1, 8, 256])
+def test_pair_a16_matches_xla(rows):
+    """pair_t W4A16-exact paths (decode bf16 dots at small M, staged
+    512-deep dots at prefill M) vs the XLA dequant oracle."""
+    from tiny_llm_tpu.ops.quantize import convert_layout
+
+    N, K = 256, 2560
+    w = jax.random.normal(jax.random.key(0), (N, K), dtype=jnp.float32) * 0.05
+    x = jax.random.normal(jax.random.key(1), (rows, K), dtype=jnp.bfloat16)
+    qp = convert_layout(quantize(w), "pair_t")
+    expected = quantized_matmul(x, qp, impl="xla")
+    got = quantized_matmul(x, qp, impl="pallas", act="bf16", interpret=True)
+    assert_allclose(got, expected, jnp.bfloat16, atol=0.2)
+
+
+@pytest.mark.parametrize("shape", [(256, 2560), (256, 1920)])  # 1920: padded K
+def test_pair_a8_matches_w4a8_oracle(shape):
+    """The W4A8 decode kernel must match the EXACT W4A8 semantics:
+    y = (sx * round(x / sx)) @ dequant(W).T with per-row absmax int8
+    activations — the activation quantization is the ONLY approximation,
+    so the oracle is computable exactly in numpy (integer dots are exact;
+    mismatch tolerance is output-bf16 rounding + f32 accumulation order).
+    Includes a K that pads (padded groups must contribute nothing)."""
+    from tiny_llm_tpu.ops.quantize import convert_layout
+
+    N, K = shape
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32) * 0.05)
+    x = jnp.asarray(rng.normal(size=(8, K)), jnp.bfloat16)
+    qp = convert_layout(quantize(w), "pair_t")
+    got = np.asarray(
+        quantized_matmul(x, qp, impl="pallas", act="int8", interpret=True),
+        np.float32,
+    )
+    xf = np.asarray(x, np.float32)
+    sx = np.abs(xf).max(axis=1, keepdims=True) / 127.0
+    xq = np.clip(np.round(xf / sx), -127, 127)
+    wd = np.asarray(dequantize(qp, jnp.float32))
+    oracle = (sx * xq) @ wd.T
+    scale = np.abs(oracle).max()
+    assert np.abs(got - oracle).max() / scale < 1e-2, (
+        np.abs(got - oracle).max(),
+        scale,
+    )
+
+
+def test_pair_a8_activation_error_is_bounded():
+    """W4A8 vs W4A16 on the same weights: the activation-quantization
+    error at decode shapes stays under ~2% of the output scale for
+    normal activations (the accuracy budget the model-level eval then
+    pins end to end)."""
+    from tiny_llm_tpu.ops.quantize import convert_layout
+
+    N, K = 512, 2560
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32) * 0.05)
+    x = jnp.asarray(rng.normal(size=(8, K)), jnp.bfloat16)
+    qp = convert_layout(quantize(w), "pair_t")
+    a16 = np.asarray(
+        quantized_matmul(x, qp, impl="pallas", act="bf16", interpret=True),
+        np.float32,
+    )
+    a8 = np.asarray(
+        quantized_matmul(x, qp, impl="pallas", act="int8", interpret=True),
+        np.float32,
+    )
+    assert np.abs(a8 - a16).max() / np.abs(a16).max() < 0.02
+
+
+def test_pair_residual_epilogue():
+    from tiny_llm_tpu.ops.quantize import convert_layout
+
+    rng = np.random.default_rng(5)
+    N, K = 256, 512
+    w = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32) * 0.05)
+    qp = convert_layout(quantize(w), "pair_t")
+    for M, act in ((8, "int8"), (8, "bf16"), (256, "bf16")):
+        x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+        r = jnp.asarray(rng.normal(size=(M, N)), jnp.bfloat16)
+        base = quantized_matmul(x, qp, impl="pallas", act=act, interpret=True)
+        fused = quantized_matmul(
+            x, qp, residual=r, impl="pallas", act=act, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused, np.float32),
+            np.asarray(base + r, np.float32),
+            atol=0.06,
+            rtol=0.02,
+        )

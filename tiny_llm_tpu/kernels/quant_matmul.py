@@ -43,11 +43,23 @@ FUSE_NORM_ENABLED = False
 
 
 def _quantized_matmul_xla(
-    x: jax.Array, qt: QuantizedTensor, bias: jax.Array | None
+    x: jax.Array, qt: QuantizedTensor, bias: jax.Array | None,
+    a8: bool = False,
 ) -> jax.Array:
-    w = dequantize(qt, dtype=x.dtype)
+    """Dequant + XLA dot fallback. a8=True applies the SAME per-row
+    absmax int8 activation quantization the pair_t Pallas decode kernel
+    uses (x -> sx * round(x/sx)), so W4A8 semantics are backend-invariant
+    — a pair_t model produces a8-class numerics on CPU too, not silently
+    exact ones."""
+    w = dequantize(qt, dtype=jnp.float32 if a8 else x.dtype)
+    xc = x
+    if a8:
+        xf = x.astype(jnp.float32)
+        sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        sx = jnp.where(sx == 0, jnp.ones_like(sx), sx)
+        xc = sx * jnp.clip(jnp.round(xf / sx), -127.0, 127.0)
     out = jax.lax.dot_general(
-        x,
+        xc,
         w,
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -254,6 +266,210 @@ def _magic_kernel(
         @pl.when(pl.program_id(k_axis) == pl.num_programs(k_axis) - 1)
         def _():
             out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _pair_kernel(
+    x_ref, w_ref, s_ref, bt_ref, out_ref, acc_ref, *, group_size,
+    a8: bool, sx_ref=None, res_ref=None, stage_ref=None,
+):
+    """acc[bm, bn] = sum_g s_g * (x_g . q_g) over pair_t packed weights.
+
+    Round-5 weight-stream redesign (the magic path is VPU-bound, not
+    HBM-bound — benchmark_results/v5e-weight-stream-2026-08-21.json):
+    per supergroup (4 groups, 512 values, 64 word rows) TWO nibble-pair
+    extractions (`words & 0x0F0F0F0F`, `(words >> 4) & 0x0F0F0F0F`),
+    each pltpu.bitcast to int8 [512, bn] holding 256 consecutive
+    logical-k values in the low half... see ops/quantize.py pair_t: each
+    extraction is [256, bn] = two quant groups as STATIC row slices.
+    That is 3 VPU word-ops per 8 values — 4x less unpack work than the
+    magic trick's 3 per 2 — and the values feed the MXU as s8 directly.
+
+    The scale folds per group AFTER the dot (w = q*s + b). The bias term
+    sum_g b_g * sum(x_g) has no weight dependence at all, so it arrives
+    PRECOMPUTED via bt_ref (one tiny [M, G] @ [G, N] XLA dot outside the
+    kernel) — the in-kernel fold is convert+mul+add per group, nothing
+    else.
+
+    a8=True (W4A8): x_ref is int8 (per-row absmax-quantized activations,
+    x ~= sx * xq), the dots run s8 x s8 -> s32 on the MXU, and the
+    epilogue rescales by sx_ref: y = sx * (sum_g s_g (xq_g . q_g) +
+    sum_g b_g qsum_g). a8=False: x_ref is bf16, dots are bf16 -> f32
+    (W4A16-exact, same numerics class as the magic path).
+    stage_ref (prefill, bm >= 128): dequant-stage q*s per supergroup
+    into bf16 and run ONE 512-deep dot — prefill stays W4A16-exact.
+    """
+    gs = group_size
+    half = 64  # word rows per supergroup
+    num_sg = w_ref.shape[0] // half
+    m4 = jnp.uint32(0x0F0F0F0F)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for sg in range(num_sg):
+        words = w_ref[sg * half : (sg + 1) * half, :]
+        e0 = pltpu.bitcast(words & m4, jnp.int8)  # k in [0, 256)
+        e1 = pltpu.bitcast((words >> 4) & m4, jnp.int8)  # k in [256, 512)
+        planes = ((e0, 0), (e0, gs), (e1, 0), (e1, gs))
+        if stage_ref is not None:
+            for j, (e, lo) in enumerate(planes):
+                g = sg * 4 + j
+                s = s_ref[g : g + 1, :].astype(jnp.bfloat16)
+                stage_ref[j * gs : (j + 1) * gs, :] = (
+                    e[lo : lo + gs].astype(jnp.bfloat16) * s
+                )
+            x_sg = x_ref[:, sg * 4 * gs : (sg + 1) * 4 * gs]
+            acc_ref[:] += jax.lax.dot_general(
+                x_sg,
+                stage_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            for j, (e, lo) in enumerate(planes):
+                g = sg * 4 + j
+                v = e[lo : lo + gs]
+                xg = x_ref[:, g * gs : (g + 1) * gs]
+                if a8:
+                    d = jax.lax.dot_general(
+                        xg,
+                        v,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                else:
+                    d = jax.lax.dot_general(
+                        xg,
+                        v.astype(jnp.bfloat16),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                acc_ref[:] += d * s_ref[g : g + 1, :].astype(jnp.float32)
+    acc = acc_ref[:] + bt_ref[:].astype(jnp.float32)
+    if sx_ref is not None:
+        acc = acc * sx_ref[:, :1]
+    if res_ref is not None:
+        acc = acc + res_ref[:].astype(jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "bits", "act", "block_n", "interpret"),
+)
+def _qmm_pair_pallas(
+    x_pad: jax.Array,  # [M, k_padded] bf16
+    packed_t: jax.Array,  # [k_padded // 8, N] uint32 (pair_t layout)
+    scales_t: jax.Array,  # [G, N]
+    biases_t: jax.Array,  # [G, N]
+    residual: jax.Array | None = None,  # [M, N] — fused output-side add
+    group_size: int = 128,
+    bits: int = 4,
+    act: str = "int8",
+    block_n: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    assert bits == 4 and group_size == 128, "pair_t kernels are W4 g128 only"
+    M, Kp = x_pad.shape
+    N = packed_t.shape[1]
+    G = scales_t.shape[0]
+    assert G == Kp // group_size, (G, Kp)
+    bm, bn = _magic_block_sizes(M, N, Kp)
+    if block_n is not None:
+        bn = min(block_n, N)
+    staged = bm >= 128  # prefill: one 512-deep bf16 dot per supergroup
+    a8 = act == "int8" and not staged
+
+    # Activation-side prep + the weight-independent bias term, in XLA
+    # (fused into the surrounding step program; at decode M <= 32 these
+    # are sub-microsecond pointwise passes + one [M, G] @ [G, N] dot).
+    xf = x_pad.astype(jnp.float32)
+    if a8:
+        sx = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
+        sx = jnp.where(sx == 0, jnp.ones_like(sx), sx)
+        xq = jnp.clip(jnp.round(xf / sx), -127.0, 127.0)
+        x_in = xq.astype(jnp.int8)
+        # Group sums of the QUANTIZED activations (exact in f32: each is
+        # an integer sum bounded by 127 * group_size).
+        xsum = jnp.sum(xq.reshape(M, G, group_size), axis=2)
+    else:
+        x_in = x_pad.astype(jnp.bfloat16)
+        sx = None
+        xsum = jnp.sum(xf.reshape(M, G, group_size), axis=2)
+    bt = jax.lax.dot_general(
+        xsum,
+        biases_t.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [M, N]; for a8 the epilogue's sx rescale covers it (bt uses qsum)
+
+    if staged:
+        grid = (pl.cdiv(M, bm), pl.cdiv(N, bn))
+        x_map = lambda m, n: (m, 0)
+        w_map = lambda m, n: (0, n)
+        o_map = lambda m, n: (m, n)
+    else:
+        grid = (pl.cdiv(N, bn), pl.cdiv(M, bm))
+        x_map = lambda n, m: (m, 0)
+        w_map = lambda n, m: (0, n)
+        o_map = lambda n, m: (m, n)
+
+    in_specs = [
+        pl.BlockSpec((bm, Kp), x_map),
+        pl.BlockSpec((Kp // 8, bn), w_map),
+        pl.BlockSpec((G, bn), w_map),
+        pl.BlockSpec((bm, bn), o_map),  # bt
+    ]
+    args = [x_in, packed_t, scales_t, bt]
+    if a8:
+        in_specs.append(pl.BlockSpec((bm, 1), x_map))
+        args.append(sx)
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((bm, bn), o_map))
+        args.append(residual)
+
+    base = functools.partial(_pair_kernel, group_size=group_size, a8=a8)
+    if staged:
+        kernel = lambda x, w, s, bt_, o, stage, acc: base(
+            x, w, s, bt_, o, acc, stage_ref=stage
+        )
+        if residual is not None:
+            kernel = lambda x, w, s, bt_, r, o, stage, acc: base(
+                x, w, s, bt_, o, acc, stage_ref=stage, res_ref=r
+            )
+        scratch = [
+            pltpu.VMEM((4 * group_size, bn), jnp.bfloat16),
+            pltpu.VMEM((bm, bn), jnp.float32),
+        ]
+    else:
+        if a8 and residual is not None:
+            kernel = lambda x, w, s, bt_, sx_, r, o, acc: base(
+                x, w, s, bt_, o, acc, sx_ref=sx_, res_ref=r
+            )
+        elif a8:
+            kernel = lambda x, w, s, bt_, sx_, o, acc: base(
+                x, w, s, bt_, o, acc, sx_ref=sx_
+            )
+        elif residual is not None:
+            kernel = lambda x, w, s, bt_, r, o, acc: base(
+                x, w, s, bt_, o, acc, res_ref=r
+            )
+        else:
+            kernel = lambda x, w, s, bt_, o, acc: base(x, w, s, bt_, o, acc)
+        scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), o_map),
+        out_shape=jax.ShapeDtypeStruct((M, N), x_pad.dtype),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * Kp,
+            bytes_accessed=M * Kp + packed_t.size * 4 + scales_t.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
 
 
 def _magic_block_sizes(M: int, N: int, Kp: int) -> tuple[int, int]:
@@ -528,6 +744,16 @@ def _qmm_pallas(
     )(x_pad, packed, scales, biases)
 
 
+import os as _os
+
+# Activation precision for the pair_t decode path, read ONCE at import
+# (construction-time knobs, not trace-time — ADVICE round 4). "int8" =
+# W4A8 s8 MXU dots (the round-5 headline path); "bf16" = W4A16-exact
+# bf16 dots on the same pair extraction. Callers override per call via
+# `act=`.
+PAIR_ACT_DEFAULT = _os.environ.get("TLT_PAIR_ACT", "int8")
+
+
 def quantized_matmul(
     x: jax.Array,
     qt: QuantizedTensor,
@@ -536,6 +762,7 @@ def quantized_matmul(
     norm_weight: jax.Array | None = None,
     eps: float = 1e-6,
     residual: jax.Array | None = None,
+    act: str | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """y = x @ dequant(qt).T (+ bias) (+ residual). x: [..., in_features].
@@ -572,7 +799,12 @@ def quantized_matmul(
 
         x = rms_norm(x, norm_weight, eps)
     if use == "xla":
-        out = _quantized_matmul_xla(x, qt, bias)
+        a8 = (
+            qt.layout == "pair_t"
+            and (act or PAIR_ACT_DEFAULT) == "int8"
+            and rows <= 32  # mirror the Pallas decode/staged gate
+        )
+        out = _quantized_matmul_xla(x, qt, bias, a8=a8)
         if residual is not None:
             out = out + residual.astype(out.dtype)
         return out
@@ -602,6 +834,23 @@ def quantized_matmul(
             bits=qt.bits,
             true_k=K,
             eps=float(eps),
+            interpret=interpret,
+        )
+        if res2 is not None:
+            residual = None  # folded into the kernel epilogue
+    elif qt.layout == "pair_t":
+        res2 = None
+        if residual is not None and bias is None:
+            res2 = residual.reshape(-1, qt.out_features).astype(jnp.bfloat16)
+        out = _qmm_pair_pallas(
+            x2,
+            qt.packed,
+            qt.scales,
+            qt.biases,
+            residual=res2,
+            group_size=qt.group_size,
+            bits=qt.bits,
+            act=act or PAIR_ACT_DEFAULT,
             interpret=interpret,
         )
         if res2 is not None:

@@ -403,6 +403,50 @@ def fuse_projections(params: Qwen3Params) -> Qwen3Params:
     return dataclasses.replace(params, layers=tuple(new_layers))
 
 
+def convert_projection_layouts(
+    params: Qwen3Params, layout: str = "pair_t"
+) -> Qwen3Params:
+    """Repack every per-layer 2-D projection weight into `layout` — EXACT
+    (stored integer codes and scales preserved bit-for-bit;
+    ops/quantize.py convert_layout).
+
+    Used by act_quant="int8": pair_t routes decode-shape matmuls through
+    the int8 nibble-pair W4A8 kernel (kernels/quant_matmul.py
+    _pair_kernel) and prefill through the W4A16-exact staged pair kernel.
+    The embedding / lm_head stay in magic_t deliberately: logits are the
+    accuracy-critical projection and the LM head is one matvec per step,
+    so it keeps full W4A16 numerics. Stacked (3-D) MoE expert tensors are
+    left untouched (the MoE kernel has its own layout)."""
+    def conv(w):
+        if isinstance(w, QuantizedTensor) and w.packed.ndim == 2:
+            from ..ops.quantize import convert_layout
+
+            return convert_layout(w, layout)
+        return w
+
+    new_layers = []
+    for layer in params.layers:
+        attn = dataclasses.replace(
+            layer.attn,
+            wq=conv(layer.attn.wq),
+            wk=conv(layer.attn.wk),
+            wv=conv(layer.attn.wv),
+            wqkv=conv(layer.attn.wqkv),
+            wo=conv(layer.attn.wo),
+        )
+        mlp = layer.mlp
+        if isinstance(mlp, MLPParams):
+            mlp = dataclasses.replace(
+                mlp,
+                w_gate=conv(mlp.w_gate),
+                w_up=conv(mlp.w_up),
+                w_gate_up=conv(mlp.w_gate_up),
+                w_down=conv(mlp.w_down),
+            )
+        new_layers.append(dataclasses.replace(layer, attn=attn, mlp=mlp))
+    return dataclasses.replace(params, layers=tuple(new_layers))
+
+
 def _is_multidevice(params: Qwen3Params) -> bool:
     for leaf in jax.tree.leaves(params):
         s = getattr(leaf, "sharding", None)
@@ -873,12 +917,25 @@ class Qwen3Model:
         max_seq_len: int | None = None,
         attn_impl: str | None = None,
         fuse: bool = True,
+        act_quant: str | None = None,
     ):
         # Fusion is an eager relayout; on mesh-sharded params it would
         # concatenate across the TP axis and destroy the intended placement,
         # so it only applies to single-device (unsharded) params.
         if fuse and not _is_multidevice(params):
             params = fuse_projections(params)
+        # act_quant="int8": repack projection weights into pair_t so
+        # decode matmuls run the W4A8 int8 nibble-pair kernel (prefill
+        # stays W4A16-exact; embedding/LM head stay magic_t). Default
+        # "bf16" = full W4A16. Env knob read ONCE at construction
+        # (construction-time config, not trace-time — ADVICE round 4).
+        self.act_quant = (
+            act_quant
+            if act_quant is not None
+            else os.environ.get("TLT_ACT_QUANT", "bf16")
+        )
+        if self.act_quant == "int8" and not _is_multidevice(params):
+            params = convert_projection_layouts(params, "pair_t")
         self.params = params
         self.cfg = cfg
         self.num_hidden_layers = cfg.num_hidden_layers

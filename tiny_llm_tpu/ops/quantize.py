@@ -22,6 +22,20 @@ the static `layout` field:
   native [K, N] orientation — no transpose, no per-value scale multiply
   (scale/bias fold per group AFTER the dot: w = (128+q)*s + (b-128*s)).
 
+* "pair_t" (W4A8 / int8-pair consumption): TRANSPOSED packing with the
+  same shapes as magic_t (`packed[K_pad/8, N]` uint32, `scales`/`biases`
+  `[G, N]`), but nibbles arranged for the int8 NIBBLE-PAIR extraction:
+  logical value k = sg*512 + c*256 + 4w + b is stored in word row
+  sg*64 + w at bits [8b + 4c, 8b + 4c + 4). One `word & 0x0F0F0F0F`
+  (c=0) or `(word >> 4) & 0x0F0F0F0F` (c=1) then pltpu.bitcast to int8
+  (which quadruples the sublane dim, low byte first) yields 256
+  CONSECUTIVE logical-k values per extraction — two quant groups as
+  static row slices — at 3 VPU word-ops per 8 values (vs the magic
+  trick's 3 per 2), ready for s8 MXU dots with the scale/bias fold
+  after the dot. This is the layout the round-5 weight-stream
+  diagnostic motivated (the W4A16 magic path is VPU-bound, not
+  HBM-bound; int8-pair extraction measures at stream speed).
+
 * "sg" (stacked experts / non-4-bit): `packed[..., N, K_pad/8]` uint32
   where nibble-plane j of the `group_size` words of supergroup sg is quant
   group j:
@@ -154,6 +168,56 @@ def unpack_magic_t(
     return vals.reshape(N, k_padded).astype(jnp.int32)
 
 
+def pack_pair_t(q: jax.Array, group_size: int, bits: int) -> jax.Array:
+    """Pack unsigned values [N, K_pad] -> uint32 [K_pad / vpw, N] (pair_t).
+
+    Logical value k = sg*512 + c*256 + 4w + b lands in word row sg*64 + w
+    at bits [8b + 4c, 8b + 4c + 4): the low nibbles of the four bytes of
+    a word are four CONSECUTIVE k values, so the in-kernel int8-pair
+    extraction (`& 0x0F0F0F0F` / `>> 4 & 0x0F0F0F0F` + bitcast) yields
+    logical-k-ordered int8 sublanes, two quant groups per extraction.
+    W4 g128 only."""
+    assert bits == 4 and group_size == 128, "pair_t layout is W4 g128 only"
+    N, K = q.shape
+    assert K % MAGIC_SUPERGROUP == 0, f"K={K} not a multiple of {MAGIC_SUPERGROUP}"
+    n_sg = K // MAGIC_SUPERGROUP
+    half = MAGIC_SUPERGROUP // 8  # 64 word rows per supergroup
+    # [N, n_sg, c(2), w(64), b(4)]: k-order = c major, then w, then b.
+    qv = q.reshape(N, n_sg, 2, half, 4).astype(jnp.uint32)
+    word = jnp.zeros((N, n_sg, half), dtype=jnp.uint32)
+    for b in range(4):
+        word = (
+            word
+            | (qv[:, :, 0, :, b] << (8 * b))
+            | (qv[:, :, 1, :, b] << (8 * b + 4))
+        )
+    return word.reshape(N, K // 8).T
+
+
+def unpack_pair_t(
+    packed_t: jax.Array, k_padded: int, group_size: int, bits: int
+) -> jax.Array:
+    """Inverse of pack_pair_t: uint32 [K_pad / vpw, N'] -> int32 [N', K_pad]."""
+    assert bits == 4 and group_size == 128
+    n_sg = k_padded // MAGIC_SUPERGROUP
+    half = MAGIC_SUPERGROUP // 8
+    N = packed_t.shape[1]
+    word = packed_t.T.reshape(N, n_sg, half)
+    mask = jnp.uint32(0xF)
+    planes = []
+    for c in range(2):
+        bs = [(word >> (8 * b + 4 * c)) & mask for b in range(4)]
+        planes.append(jnp.stack(bs, axis=-1))  # [N, n_sg, 64, 4]
+    vals = jnp.stack(planes, axis=2)  # [N, n_sg, 2, 64, 4]
+    return vals.reshape(N, k_padded).astype(jnp.int32)
+
+
+_TRANSPOSED_LAYOUTS = ("magic_t", "pair_t")
+
+_PACK_T = {"magic_t": pack_magic_t, "pair_t": pack_pair_t}
+_UNPACK_T = {"magic_t": unpack_magic_t, "pair_t": unpack_pair_t}
+
+
 def unpack_mlx(packed: jax.Array, bits: int) -> jax.Array:
     """Unpack MLX layout: consecutive values little-endian within each word.
 
@@ -179,7 +243,7 @@ def _from_values(
         layout = "magic_t" if (bits == 4 and group_size == 128) else "sg"
     sg_vals = (
         MAGIC_SUPERGROUP
-        if layout == "magic_t"
+        if layout in _TRANSPOSED_LAYOUTS
         else supergroup_values(group_size, bits)
     )
     k_padded = ((K + sg_vals - 1) // sg_vals) * sg_vals
@@ -191,8 +255,8 @@ def _from_values(
             scales, ((0, 0), (0, g_padded - G)), constant_values=1
         )
         biases = jnp.pad(biases, ((0, 0), (0, g_padded - G)))
-    if layout == "magic_t":
-        packed = pack_magic_t(vals.astype(jnp.uint32), group_size, bits)
+    if layout in _TRANSPOSED_LAYOUTS:
+        packed = _PACK_T[layout](vals.astype(jnp.uint32), group_size, bits)
         # bf16 scale/bias storage: scale metadata is 12.5% of the packed
         # weight bytes at f32 — at decode the kernel is a pure HBM stream,
         # so halving it buys ~5% step time. Lossless for MLX checkpoints
@@ -283,7 +347,7 @@ def from_mlx_packing_stacked(
         bits,
         layout=layout,
     )
-    if flat.layout == "magic_t":
+    if flat.layout in _TRANSPOSED_LAYOUTS:
         packed = flat.packed.reshape(-1, E, N).transpose(1, 0, 2)
         qs = flat.scales.reshape(-1, E, N).transpose(1, 0, 2)
         qb = flat.biases.reshape(-1, E, N).transpose(1, 0, 2)
@@ -316,7 +380,7 @@ def quantize_stacked(
     "sg": packed [E, N, Kp/8], scales [E, N, G])."""
     E, N, K = w.shape
     qt = quantize(w.reshape(E * N, K), group_size=group_size, bits=bits, layout=layout)
-    if qt.layout == "magic_t":
+    if qt.layout in _TRANSPOSED_LAYOUTS:
         packed = qt.packed.reshape(-1, E, N).transpose(1, 0, 2)
         scales = qt.scales.reshape(-1, E, N).transpose(1, 0, 2)
         biases = qt.biases.reshape(-1, E, N).transpose(1, 0, 2)
@@ -357,7 +421,7 @@ def concat_out_features(qts: list[QuantizedTensor]) -> QuantizedTensor:
             and q.group_size == head.group_size
             and q.bits == head.bits
         ), "concat_out_features requires matching K / layout / quant params"
-    axis = 1 if head.layout == "magic_t" else 0
+    axis = 1 if head.layout in _TRANSPOSED_LAYOUTS else 0
     return QuantizedTensor(
         packed=jnp.concatenate([q.packed for q in qts], axis=axis),
         scales=jnp.concatenate([q.scales for q in qts], axis=axis),
@@ -383,7 +447,7 @@ def permute_out_features(qt: QuantizedTensor, perm) -> QuantizedTensor:
     assert qt.packed.ndim == 2, "2-D weights only"
     perm = jnp.asarray(perm, dtype=jnp.int32)
     assert perm.shape == (qt.out_features,), perm.shape
-    axis = 1 if qt.layout == "magic_t" else 0
+    axis = 1 if qt.layout in _TRANSPOSED_LAYOUTS else 0
     return QuantizedTensor(
         packed=jnp.take(qt.packed, perm, axis=axis),
         scales=jnp.take(qt.scales, perm, axis=axis),
@@ -403,8 +467,8 @@ def convert_layout(qt: QuantizedTensor, layout: str) -> QuantizedTensor:
     if qt.layout == layout:
         return qt
     assert qt.packed.ndim == 2, "layout conversion is for 2-D weights"
-    if qt.layout == "magic_t":
-        vals = unpack_magic_t(qt.packed, qt.k_padded, qt.group_size, qt.bits)
+    if qt.layout in _TRANSPOSED_LAYOUTS:
+        vals = _UNPACK_T[qt.layout](qt.packed, qt.k_padded, qt.group_size, qt.bits)
         scales, biases = qt.scales.T, qt.biases.T
     else:
         vals = unpack_supergroup(qt.packed, qt.k_padded, qt.group_size, qt.bits)
@@ -412,7 +476,7 @@ def convert_layout(qt: QuantizedTensor, layout: str) -> QuantizedTensor:
     # The layouts pad K at different granularities (512 vs 1024).
     sg_vals = (
         MAGIC_SUPERGROUP
-        if layout == "magic_t"
+        if layout in _TRANSPOSED_LAYOUTS
         else supergroup_values(qt.group_size, qt.bits)
     )
     k_new = ((qt.k_padded + sg_vals - 1) // sg_vals) * sg_vals
@@ -423,8 +487,8 @@ def convert_layout(qt: QuantizedTensor, layout: str) -> QuantizedTensor:
             scales, ((0, 0), (0, g_new - scales.shape[1])), constant_values=1
         )
         biases = jnp.pad(biases, ((0, 0), (0, g_new - biases.shape[1])))
-    if layout == "magic_t":
-        packed = pack_magic_t(vals.astype(jnp.uint32), qt.group_size, qt.bits)
+    if layout in _TRANSPOSED_LAYOUTS:
+        packed = _PACK_T[layout](vals.astype(jnp.uint32), qt.group_size, qt.bits)
         scales = scales.astype(jnp.bfloat16).T
         biases = biases.astype(jnp.bfloat16).T
     else:
@@ -448,12 +512,13 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Reconstruct the dense weight [..., N, K]: w = q * scale + bias.
 
     Supports stacked expert tensors (leading dims before [N, K])."""
-    if qt.layout == "magic_t":
+    if qt.layout in _TRANSPOSED_LAYOUTS:
+        unpack_t = _UNPACK_T[qt.layout]
         G = qt.k_padded // qt.group_size
         if qt.packed.ndim == 3:  # stacked experts [E, Kp/8, N]
             E, _, N = qt.packed.shape
             p2 = qt.packed.transpose(1, 0, 2).reshape(qt.k_padded // 8, E * N)
-            vals = unpack_magic_t(p2, qt.k_padded, qt.group_size, qt.bits)
+            vals = unpack_t(p2, qt.k_padded, qt.group_size, qt.bits)
             s2 = qt.scales.transpose(1, 0, 2).reshape(G, E * N)
             b2 = qt.biases.transpose(1, 0, 2).reshape(G, E * N)
             vg = vals.reshape(E * N, G, qt.group_size).astype(jnp.float32)
@@ -464,7 +529,7 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
             return w.reshape(E, N, qt.k_padded)[
                 ..., : qt.in_features
             ].astype(dtype)
-        vals = unpack_magic_t(qt.packed, qt.k_padded, qt.group_size, qt.bits)
+        vals = unpack_t(qt.packed, qt.k_padded, qt.group_size, qt.bits)
         vg = vals.reshape(qt.out_features, G, qt.group_size).astype(jnp.float32)
         w = (
             vg * qt.scales.astype(jnp.float32).T[..., None]
