@@ -37,7 +37,8 @@ def serving_bench(args) -> None:
 
     cfg = QWEN3_CONFIGS[args.model]
     params = synthetic_quantized_params(cfg, key=0)
-    model = Qwen3Model(params, cfg, max_seq_len=args.max_seq, attn_impl=args.impl)
+    model = Qwen3Model(params, cfg, max_seq_len=args.max_seq, attn_impl=args.impl,
+                       act_quant=args.act_quant)
     ps = args.page_size
     pages = (args.max_seq // ps) * (args.batch_size + 2) + 9
     model.enable_paged_attention(num_pages=pages, page_size=ps)
@@ -153,7 +154,8 @@ def serving_bench(args) -> None:
     print(
         json.dumps(
             {
-                "metric": f"serving_output_tok_s_{args.model.replace('-', '_')}_w4a16",
+                "metric": f"serving_output_tok_s_{args.model.replace('-', '_')}_"
+                f"{'w4a8' if model.act_quant == 'int8' else 'w4a16'}",
                 "value": median_row["output_tok_s"],
                 "unit": "tok/s",
                 "vs_baseline": round(median_row["output_tok_s"] / 45.05, 3),
@@ -195,6 +197,9 @@ def main() -> None:
     p.add_argument("--arrival-rate", type=float, nargs="*", default=None,
                    help="serving mode: open-loop Poisson offered load(s) "
                         "in req/s; one sweep row per rate")
+    p.add_argument("--act-quant", default=None, choices=["bf16", "int8"],
+                   help="int8 = W4A8 decode tier (pair_t int8 nibble-pair "
+                        "kernels; prefill stays W4A16-exact)")
     args = p.parse_args()
 
     if args.mode == "serving":
@@ -205,7 +210,8 @@ def main() -> None:
 
     cfg = QWEN3_CONFIGS[args.model]
     params = synthetic_quantized_params(cfg, key=0)
-    model = Qwen3Model(params, cfg, max_seq_len=args.max_seq, attn_impl=args.impl)
+    model = Qwen3Model(params, cfg, max_seq_len=args.max_seq, attn_impl=args.impl,
+                       act_quant=args.act_quant)
 
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(
@@ -312,7 +318,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"decode_tok_s_{args.model.replace('-', '_')}_w4a16",
+                "metric": f"decode_tok_s_{args.model.replace('-', '_')}_"
+                f"{'w4a8' if model.act_quant == 'int8' else 'w4a16'}",
                 "value": round(decode_tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(decode_tok_s / REFERENCE_DECODE_TOK_S, 3),

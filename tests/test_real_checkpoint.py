@@ -313,3 +313,54 @@ def test_config_parses_hf_json(ckpt_dir, moe_ckpt_dir):
     assert not cfg.is_moe_layer(0)
     mcfg = load_config(moe_ckpt_dir)
     assert mcfg.is_moe_layer(0) and mcfg.moe_intermediate_size == 128
+
+
+def test_w4a8_decode_close_to_w4a16_on_real_checkpoint(ckpt_dir):
+    """W4A8 accuracy gate (round-5 int8 nibble-pair decode tier): on the
+    genuine-HF-artifact checkpoint, teacher-forced decode logits under
+    act_quant="int8" must stay within a tight KL of the W4A16 model.
+    Measured basis: KL max 4.6e-4, top-1 agreement 22/24 free-running on
+    near-flat random-init logits (the harshest argmax regime — trained
+    logit gaps are larger). Bounds carry 20x headroom. Disclosure: the
+    artifact's weights are random-init (no egress); trained-weight
+    activation outliers can widen a8 error — re-run on a real download
+    the day egress exists (same disclosure as the rest of this file)."""
+    o = _oracle(ckpt_dir)
+    pq, cfgq = load_params(ckpt_dir, quantized=True)
+    m16 = Qwen3Model(pq, cfgq, max_seq_len=256)
+    m8 = Qwen3Model(pq, cfgq, max_seq_len=256, act_quant="int8")
+
+    steps = 16
+    forced = _greedy_ids(m16, o["prompt_ids"], steps)
+
+    def forced_logits(model):
+        cache = model.create_kv_cache()
+        try:
+            toks = jnp.asarray([o["prompt_ids"]], dtype=jnp.int32)
+            off, logs = 0, []
+            for i in range(steps):
+                lo = model(toks, off, cache, logits_to_keep=1)
+                logs.append(np.asarray(lo[0, -1], np.float32))
+                off += toks.shape[1]
+                toks = jnp.asarray([[forced[i]]], dtype=jnp.int32)
+            return np.stack(logs)
+        finally:
+            cache.release()
+
+    g16 = forced_logits(m16)
+    g8 = forced_logits(m8)
+
+    def softmax(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    p, q = softmax(g16), softmax(g8)
+    kl = (p * (np.log(p + 1e-12) - np.log(q + 1e-12))).sum(-1)
+    assert kl.max() < 1e-2, kl.max()
+    rel = np.abs(g8 - g16).max(-1) / np.abs(g16).max(-1)
+    assert rel.max() < 0.15, rel.max()
+    # Free-running greedy should mostly agree even at random-init logit
+    # flatness (measured 22/24).
+    free8 = _greedy_ids(m8, o["prompt_ids"], steps)
+    agree = sum(a == b for a, b in zip(forced, free8)) / steps
+    assert agree >= 0.6, (agree, forced, free8)
