@@ -197,6 +197,11 @@ def main() -> None:
     p.add_argument("--arrival-rate", type=float, nargs="*", default=None,
                    help="serving mode: open-loop Poisson offered load(s) "
                         "in req/s; one sweep row per rate")
+    p.add_argument("--batch", type=int, default=1,
+                   help="decode mode: parallel decode streams (B). The MXU "
+                        "issue floor is flat to M=32 (v5e-mxu-rate JSON), so "
+                        "aggregate tok/s scales ~linearly while per-stream "
+                        "cost stays ~constant; this row measures it")
     p.add_argument("--act-quant", default=None, choices=["bf16", "int8"],
                    help="int8 = W4A8 decode tier (pair_t int8 nibble-pair "
                         "kernels; prefill stays W4A16-exact)")
@@ -214,8 +219,9 @@ def main() -> None:
                        act_quant=args.act_quant)
 
     rng = np.random.default_rng(0)
+    B = max(1, args.batch)
     prompt = jnp.asarray(
-        rng.integers(0, cfg.vocab_size, size=(1, args.prompt_len)), dtype=jnp.int32
+        rng.integers(0, cfg.vocab_size, size=(B, args.prompt_len)), dtype=jnp.int32
     )
     burst = max(1, min(args.decode_burst, args.decode))
 
@@ -226,7 +232,7 @@ def main() -> None:
         block_until_ready does not on some tunnels (see probe_sync.py).
         Per-burst wall times are kept so a slow repeat is attributable to
         the specific relay round-trip that stalled (VERDICT r4 weak #2)."""
-        cache = model.create_kv_cache()
+        cache = model.create_kv_cache(batch_size=B)
         t0 = time.perf_counter()
         logits = model(prompt, 0, cache, logits_to_keep=1)
         tok = np.asarray(
@@ -255,9 +261,9 @@ def main() -> None:
     # variance that a single sample cannot bound (round-2 drivers caught
     # 177-196 tok/s across rounds from one-sample reporting).
     samples = [run_decode(timed=True) for _ in range(max(1, args.repeats))]
-    run_order_rates = [round(args.decode / d, 2) for _, d, _ in samples]
-    decode_rates = sorted(args.decode / d for _, d, _ in samples)
-    prefill_rates = sorted(args.prompt_len / p for p, _, _ in samples)
+    run_order_rates = [round(B * args.decode / d, 2) for _, d, _ in samples]
+    decode_rates = sorted(B * args.decode / d for _, d, _ in samples)
+    prefill_rates = sorted(B * args.prompt_len / p for p, _, _ in samples)
     mid = len(samples) // 2
     decode_tok_s = decode_rates[mid]
     prefill_tok_s = prefill_rates[mid]
@@ -266,7 +272,7 @@ def main() -> None:
     slowest = max(samples, key=lambda s: s[1])
 
     # Device ceiling: the whole decode in ONE dispatch + one fetch.
-    cache = model.create_kv_cache()
+    cache = model.create_kv_cache(batch_size=B)
     logits = model(prompt, 0, cache, logits_to_keep=1)
     tok = np.asarray(
         jax.device_get(jnp.argmax(logits[:, -1, :].astype(jnp.float32), axis=-1)),
@@ -274,7 +280,7 @@ def main() -> None:
     )
     model.decode_burst_dense(cache, tok, args.decode)  # compile
     cache.release()
-    cache = model.create_kv_cache()
+    cache = model.create_kv_cache(batch_size=B)
     logits = model(prompt, 0, cache, logits_to_keep=1)
     tok = np.asarray(
         jax.device_get(jnp.argmax(logits[:, -1, :].astype(jnp.float32), axis=-1)),
@@ -284,35 +290,35 @@ def main() -> None:
     for _ in range(max(1, min(3, args.repeats))):
         t0 = time.perf_counter()
         model.decode_burst_dense(cache, tok, args.decode)
-        dev_rates.append(args.decode / (time.perf_counter() - t0))
+        dev_rates.append(B * args.decode / (time.perf_counter() - t0))
         cache.rewind(args.decode)
     device_tok_s = sorted(dev_rates)[len(dev_rates) // 2]
     cache.release()
 
     # Secondary: reference-methodology per-step loop (one model call per
     # token), fetch-synced at the end — includes per-step dispatch costs.
-    cache = model.create_kv_cache()
+    cache = model.create_kv_cache(batch_size=B)
     logits = model(prompt, 0, cache, logits_to_keep=1)
     tok = jnp.argmax(logits[:, -1, :].astype(jnp.float32), axis=-1).astype(jnp.int32)
     jax.device_get(tok)
     # Warm the per-step program (excluded from timing).
-    _ = model(tok[None], args.prompt_len, cache, logits_to_keep=1)
+    _ = model(tok[:, None], args.prompt_len, cache, logits_to_keep=1)
     jax.device_get(_)
     cache.release()
-    cache = model.create_kv_cache()
+    cache = model.create_kv_cache(batch_size=B)
     logits = model(prompt, 0, cache, logits_to_keep=1)
     tok = jnp.argmax(logits[:, -1, :].astype(jnp.float32), axis=-1).astype(jnp.int32)
     jax.device_get(tok)
     offset = args.prompt_len
     t0 = time.perf_counter()
     for _ in range(args.decode):
-        logits = model(tok[None], offset, cache, logits_to_keep=1)
+        logits = model(tok[:, None], offset, cache, logits_to_keep=1)
         tok = jnp.argmax(logits[:, -1, :].astype(jnp.float32), axis=-1).astype(
             jnp.int32
         )
         offset += 1
     jax.device_get(tok)
-    per_step_tok_s = args.decode / (time.perf_counter() - t0)
+    per_step_tok_s = B * args.decode / (time.perf_counter() - t0)
     cache.release()
 
     print(
@@ -332,6 +338,7 @@ def main() -> None:
                 "device_burst_tok_s": round(device_tok_s, 2),
                 "per_step_loop_tok_s": round(per_step_tok_s, 2),
                 "decode_burst": burst,
+                "batch": B,
                 "prompt_len": args.prompt_len,
                 "decode_steps": args.decode,
                 "backend": jax.default_backend(),

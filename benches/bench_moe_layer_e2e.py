@@ -63,14 +63,18 @@ def main():
     w_router = jnp.asarray(rng.normal(size=(E, D)) * 0.1, jnp.bfloat16)
     x = jnp.asarray(rng.normal(size=(B, 1, D)), jnp.bfloat16)
 
-    def slope(impl):
+    def slope(impl, wg=None, wu=None, wd=None):
+        wg = w_gate if wg is None else wg
+        wu = w_up if wu is None else wu
+        wd = w_down if wd is None else wd
+
         def make_run(ncalls):
             @jax.jit
             def run(x0):
                 def body(i, xx):
                     for _ in range(ncalls):
                         y = moe_forward(
-                            xx, w_router, w_gate, w_up, w_down,
+                            xx, w_router, wg, wu, wd,
                             num_experts_per_tok=TOPK, norm_topk_prob=True,
                             impl=impl,
                         )
@@ -109,8 +113,17 @@ def main():
     # manual-DMA schedule via its env hatch for the ongoing A/B record.
     import os
 
+    from tiny_llm_tpu.ops.quantize import convert_layout_stacked
+
+    pair = {
+        n: jax.jit(convert_layout_stacked, static_argnames=("layout",))(
+            w, layout="pair_t"
+        )
+        for n, w in (("g", w_gate), ("u", w_up), ("d", w_down))
+    }
     for name, setup in [
         ("dispatch", None),
+        ("pair_a8", "pair"),
         ("gather_forced", "gather"),
         ("xla", "xla"),
     ]:
@@ -118,7 +131,11 @@ def main():
             os.environ["TLT_MOE_DECODE"] = "gather"
         impl = "xla" if setup == "xla" else None
         try:
-            dt = slope(impl)
+            if setup == "pair":
+                # round-5 session 2: int8-pair walk, a8 at decode T
+                dt = slope(None, pair["g"], pair["u"], pair["d"])
+            else:
+                dt = slope(impl)
         finally:
             os.environ.pop("TLT_MOE_DECODE", None)
         results[name] = round(dt * 1e6, 1)

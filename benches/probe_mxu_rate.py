@@ -112,8 +112,14 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        t_lo, t_hi = run_n(200), run_n(1000)
-        dt = max((t_hi - t_lo) / 800, 1e-12)  # seconds per iteration
+        # Iteration counts sized so the hi arm's device compute is
+        # multiple ms — the axon relay absorbs sub-ms compute deltas
+        # inside its ~24 ms round trip (probe_pair_qmm first cut lost
+        # every small shape to this), so the slope must dwarf it.
+        iters_hi = max(2000, 3_000_000 // (4 * m))
+        iters_lo = iters_hi // 5
+        t_lo, t_hi = run_n(iters_lo), run_n(iters_hi)
+        dt = max((t_hi - t_lo) / (iters_hi - iters_lo), 1e-12)
         macs = m * Kb * BN
         tiles = (Kb // 128) * (BN // 128)
         cyc_per_tile_940 = dt * 0.94e9 / tiles

@@ -41,6 +41,9 @@ BENCH_MODULES = [
     "probe_hbm_bandwidth",
     "probe_weight_stream",
     "probe_trace_64k",
+    # round 5, session 2
+    "probe_pair_qmm",
+    "probe_mxu_rate",
 ]
 
 

@@ -357,3 +357,165 @@ def test_moe_decode_dispatch_defaults_to_walk(monkeypatch):
     big_gs = jnp.asarray([moe_matmul.GATHER_MAX_T, 1], jnp.int32)
     moe_matmul.grouped_quantized_matmul(big_x, stacked, big_gs)
     assert calls[-1] == "walk"
+
+
+# ---------------------------------------------------------------------------
+# pair_t expert walk (round-5 W4A8 MoE tier)
+# ---------------------------------------------------------------------------
+
+
+def _stack_quantized_magic(E, N, K, seed=0):
+    from tiny_llm_tpu.ops.quantize import quantize_stacked
+
+    rng = np.random.default_rng(seed)
+    wf = jnp.asarray(rng.normal(size=(E, N, K)).astype(np.float32) * 0.1)
+    stacked = quantize_stacked(wf, layout="magic_t")
+    w_hat = np.asarray(dequantize(stacked, jnp.float32))
+    return stacked, w_hat
+
+
+def test_convert_layout_stacked_exact():
+    from tiny_llm_tpu.ops.quantize import convert_layout_stacked
+
+    stacked, w_hat = _stack_quantized_magic(4, 96, 512, seed=9)
+    sp = convert_layout_stacked(stacked, "pair_t")
+    assert sp.layout == "pair_t" and sp.packed.shape == stacked.packed.shape
+    np.testing.assert_array_equal(
+        np.asarray(dequantize(sp, jnp.float32)),
+        np.asarray(dequantize(stacked, jnp.float32)),
+    )
+    back = convert_layout_stacked(sp, "magic_t")
+    np.testing.assert_array_equal(
+        np.asarray(back.packed), np.asarray(stacked.packed)
+    )
+
+
+@pytest.mark.parametrize(
+    "sizes",
+    [
+        [7, 0, 20, 3, 9],
+        [0, 0, 39, 0, 0],
+        [40, 0, 0, 0, 24],
+    ],
+)
+def test_gqmm_pair_a8_matches_w4a8_oracle(sizes):
+    """The int8-pair expert walk must reproduce EXACT W4A8 semantics:
+    per-row absmax int8 activations against the dequantized expert —
+    computable exactly outside (integer dots are exact)."""
+    from tiny_llm_tpu.kernels.moe_matmul import _gqmm_pair_pallas
+    from tiny_llm_tpu.ops.quantize import convert_layout_stacked
+
+    E, N, K = len(sizes), 96, 512
+    stacked, w_hat = _stack_quantized_magic(E, N, K, seed=4)
+    sp = convert_layout_stacked(stacked, "pair_t")
+    T = sum(sizes)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(T, K)), jnp.bfloat16)
+    out = np.asarray(
+        _gqmm_pair_pallas(
+            x, sp.packed, sp.scales, sp.biases,
+            jnp.asarray(sizes, jnp.int32),
+            group_size=128, bits=4, a8=True, interpret=True,
+        ),
+        np.float32,
+    )
+    xf = np.asarray(x, np.float32)
+    sx = np.abs(xf).max(axis=1, keepdims=True) / 127.0
+    sx = np.where(sx == 0, 1.0, sx)
+    xq = np.clip(np.round(xf / sx), -127, 127)
+    r = 0
+    for e, s in enumerate(sizes):
+        if s == 0:
+            continue
+        expected = (sx[r : r + s] * xq[r : r + s]) @ w_hat[e].T
+        scale = max(np.abs(expected).max(), 1e-6)
+        assert np.abs(out[r : r + s] - expected).max() / scale < 1e-2
+        r += s
+
+
+def test_gqmm_pair_a16_matches_magic_walk():
+    from tiny_llm_tpu.kernels.moe_matmul import (
+        _gqmm_magic_pallas,
+        _gqmm_pair_pallas,
+    )
+    from tiny_llm_tpu.ops.quantize import convert_layout_stacked
+
+    sizes = [7, 0, 20, 3, 9]
+    E, N, K = len(sizes), 96, 512
+    stacked, _ = _stack_quantized_magic(E, N, K, seed=4)
+    sp = convert_layout_stacked(stacked, "pair_t")
+    T = sum(sizes)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(T, K)), jnp.bfloat16)
+    a = np.asarray(
+        _gqmm_magic_pallas(
+            x, stacked.packed, stacked.scales, stacked.biases,
+            jnp.asarray(sizes, jnp.int32), group_size=128, bits=4,
+            interpret=True,
+        ),
+        np.float32,
+    )
+    b = np.asarray(
+        _gqmm_pair_pallas(
+            x, sp.packed, sp.scales, sp.biases,
+            jnp.asarray(sizes, jnp.int32), group_size=128, bits=4,
+            a8=False, interpret=True,
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=8e-2)
+
+
+def test_gqmm_pair_dispatch_gates_a8_by_T():
+    """grouped_quantized_matmul on pair_t: a8 at decode-regime T (<=128),
+    W4A16-exact above — prefill context never pays activation quant."""
+    from tiny_llm_tpu.kernels.moe_matmul import grouped_quantized_matmul
+    from tiny_llm_tpu.ops.quantize import convert_layout_stacked
+
+    E, N, K = 2, 96, 512
+    stacked, w_hat = _stack_quantized_magic(E, N, K, seed=7)
+    sp = convert_layout_stacked(stacked, "pair_t")
+    rng = np.random.default_rng(8)
+    T = 192  # > 128: must be exact
+    sizes = jnp.asarray([100, 92], jnp.int32)
+    x = jnp.asarray(rng.normal(size=(T, K)), jnp.bfloat16)
+    out = np.asarray(
+        grouped_quantized_matmul(x, sp, sizes, interpret=True), np.float32
+    )
+    xf = np.asarray(x, np.float32)
+    exact0 = xf[:100] @ w_hat[0].T
+    np.testing.assert_allclose(out[:100], exact0, rtol=5e-2, atol=8e-2)
+
+
+def test_moe_model_act_quant_int8_runs_and_close():
+    """act_quant="int8" on a MoE model: stacked experts repack to pair_t
+    exactly; decode logits stay close to W4A16 (activation int8 is the
+    only delta) and the cached step still runs."""
+    from tiny_llm_tpu.models.qwen3 import MoEParams
+    from tiny_llm_tpu.ops.quantize import QuantizedTensor
+
+    cfg = tiny_test_config(
+        num_hidden_layers=2,
+        num_experts=4,
+        num_experts_per_tok=2,
+        moe_intermediate_size=128,
+        norm_topk_prob=True,
+    )
+    params = random_params(cfg, key=1, quantized=True)
+    m16 = Qwen3Model(params, cfg, max_seq_len=64)
+    m8 = Qwen3Model(params, cfg, max_seq_len=64, act_quant="int8")
+    moe8 = m8.params.layers[0].mlp
+    assert isinstance(moe8, MoEParams)
+    if isinstance(moe8.w_gate, QuantizedTensor):
+        assert moe8.w_gate.layout == "pair_t"
+        np.testing.assert_array_equal(
+            np.asarray(dequantize(m16.params.layers[0].mlp.w_gate, jnp.float32)),
+            np.asarray(dequantize(moe8.w_gate, jnp.float32)),
+        )
+    tokens = jnp.asarray([[3, 1, 4, 1]], jnp.int32)
+    cache16, cache8 = m16.create_kv_cache(), m8.create_kv_cache()
+    m16(tokens, 0, cache16)
+    m8(tokens, 0, cache8)
+    s16 = np.asarray(m16(tokens[:, :1], 4, cache16, logits_to_keep=1), np.float32)
+    s8 = np.asarray(m8(tokens[:, :1], 4, cache8, logits_to_keep=1), np.float32)
+    assert np.abs(s8 - s16).max() / np.abs(s16).max() < 0.25

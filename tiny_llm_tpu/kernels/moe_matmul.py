@@ -170,6 +170,156 @@ def _gqmm_magic_kernel(
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _gqmm_pair_kernel(
+    gids_ref, mtids_ref, flags_ref, goffs_ref,  # scalar prefetch
+    x_ref, sx_ref, w_ref, s_ref, b_ref,  # inputs (pair_t stacked layout)
+    out_ref,
+    acc_ref,  # scratch
+    *, group_size: int, bm: int, a8: bool,
+):
+    """Ragged walk identical to _gqmm_magic_kernel, but the dequant inner
+    loop is the round-5 int8 nibble-pair extraction (ops/quantize.py
+    pair_t; kernels/quant_matmul.py _pair_kernel): TWO extractions per
+    supergroup instead of four magic chains (3 VPU word-ops per 8 values
+    vs 3 per 2), values land as int8 in logical-k order. a8=True runs
+    s8 x s8 MXU dots on per-row absmax-quantized activations (6.9 vs 8.5
+    cycles per weight tile at decode M — v5e-mxu-rate JSON) and rescales
+    by sx at the accumulator flush; a8=False converts to bf16 (W4A16-
+    exact). The bias fold b_g * sum(x_g) stays in-kernel (per-expert b
+    cannot be precomputed outside a ragged walk)."""
+    i = pl.program_id(1)
+    flag = flags_ref[i]
+    gs = group_size
+    half = 64  # word rows per supergroup
+    num_sg = w_ref.shape[1] // half
+    m4 = jnp.uint32(0x0F0F0F0F)
+
+    @pl.when((flag >> 1) & 1 == 1)  # first visit of this m-tile
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(flag & 1 == 1)  # valid logical tile
+    def _():
+        g = gids_ref[i]
+        row0 = mtids_ref[i] * bm
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
+        rmask = (rows >= goffs_ref[g]) & (rows < goffs_ref[g + 1])
+        x = jnp.where(rmask, x_ref[:], jnp.zeros_like(x_ref))
+        for sg in range(num_sg):
+            words = w_ref[0, sg * half : (sg + 1) * half, :]
+            e0 = pltpu.bitcast(words & m4, jnp.int8)  # k in [0, 256)
+            e1 = pltpu.bitcast((words >> 4) & m4, jnp.int8)
+            for j, (e, lo) in enumerate(
+                ((e0, 0), (e0, gs), (e1, 0), (e1, gs))
+            ):
+                gq = sg * 4 + j
+                v = e[lo : lo + gs]
+                xg = x[:, gq * gs : (gq + 1) * gs]
+                if a8:
+                    d = jax.lax.dot_general(
+                        xg, v,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                else:
+                    d = jax.lax.dot_general(
+                        xg, v.astype(jnp.bfloat16),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+                s = s_ref[0, gq : gq + 1, :].astype(jnp.float32)
+                b = b_ref[0, gq : gq + 1, :].astype(jnp.float32)
+                acc_ref[:] += d * s + xs * b
+
+    @pl.when((flag >> 2) & 1 == 1)  # last visit: flush the accumulator
+    def _():
+        acc = acc_ref[:]
+        if a8:
+            acc = acc * sx_ref[:, :1]
+        out_ref[:] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "bits", "a8", "interpret", "bn")
+)
+def _gqmm_pair_pallas(
+    x_pad: jax.Array,  # [T, k_padded] bf16, rows sorted by expert
+    packed: jax.Array,  # [E, k_padded // 8, N] uint32 (pair_t stacked)
+    scales: jax.Array,  # [E, G, N]
+    biases: jax.Array,
+    group_sizes: jax.Array,  # [E] int32
+    group_size: int,
+    bits: int,
+    a8: bool = True,
+    interpret: bool = False,
+    bn: int | None = None,
+) -> jax.Array:
+    assert bits == 4 and group_size == 128
+    T, K = x_pad.shape
+    E, _, N = packed.shape
+    G = scales.shape[1]
+    bm, auto_bn = _gqmm_magic_block_sizes(T, N, K, G, scales.dtype.itemsize)
+    bn = auto_bn if bn is None else bn
+    tiles_m = _cdiv(T, bm)
+    tiles_n = _cdiv(N, bn)
+    gids, mtids, flags, goffs = _group_metadata(group_sizes, T, bm, E, tiles_m)
+    num_logical = jnp.sum(
+        jnp.where(
+            group_sizes > 0,
+            (jnp.cumsum(group_sizes) + bm - 1) // bm
+            - (jnp.cumsum(group_sizes) - group_sizes) // bm,
+            0,
+        )
+    ).astype(jnp.int32)
+
+    xf = x_pad.astype(jnp.float32)
+    if a8:
+        sx = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
+        sx = jnp.where(sx == 0, jnp.ones_like(sx), sx)
+        x_in = jnp.clip(jnp.round(xf / sx), -127.0, 127.0).astype(jnp.int8)
+    else:
+        sx = jnp.ones((T, 1), jnp.float32)
+        x_in = x_pad.astype(jnp.bfloat16)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(tiles_n, num_logical),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda n, i, gids, mtids, flags, goffs: (mtids[i], 0)),
+            pl.BlockSpec((bm, 1), lambda n, i, gids, mtids, flags, goffs: (mtids[i], 0)),
+            pl.BlockSpec(
+                (1, K // 8, bn),
+                lambda n, i, gids, mtids, flags, goffs: (gids[i], 0, n),
+            ),
+            pl.BlockSpec(
+                (1, G, bn), lambda n, i, gids, mtids, flags, goffs: (gids[i], 0, n)
+            ),
+            pl.BlockSpec(
+                (1, G, bn), lambda n, i, gids, mtids, flags, goffs: (gids[i], 0, n)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda n, i, gids, mtids, flags, goffs: (mtids[i], n)
+        ),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _gqmm_pair_kernel, group_size=group_size, bm=bm, a8=a8
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, N), x_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * N * K,
+            bytes_accessed=T * K + packed.size * 4 + scales.size * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(gids, mtids, flags, goffs, x_in, sx, packed, scales, biases)
+
+
 @functools.partial(
     jax.jit, static_argnames=("group_size", "bits", "interpret", "bn")
 )
@@ -695,6 +845,24 @@ def grouped_quantized_matmul(
     x2 = grouped_x.astype(jnp.bfloat16)
     if qt.k_padded != K:
         x2 = jnp.pad(x2, ((0, 0), (0, qt.k_padded - K)))
+    if qt.layout == "pair_t":
+        # Round-5 W4A8 expert tier: int8-pair walk. a8 at decode-regime
+        # T only (serving decode routes B*top_k <= 64 rows; prefill
+        # chunks route >= 1024) — prefill stays W4A16-exact so context
+        # quality never pays the activation-quant cost, mirroring the
+        # dense pair dispatch (quant_matmul.py).
+        out = _gqmm_pair_pallas(
+            x2,
+            qt.packed,
+            qt.scales,
+            qt.biases,
+            group_sizes,
+            group_size=qt.group_size,
+            bits=qt.bits,
+            a8=T <= 128,
+            interpret=interpret,
+        )
+        return out.astype(grouped_x.dtype)
     if qt.layout == "magic_t":
         # Round-5 default: the whole-expert BlockSpec walk EVERYWHERE.
         # History: round 3 introduced the manual-DMA expert gather for

@@ -415,13 +415,24 @@ def convert_projection_layouts(
     _pair_kernel) and prefill through the W4A16-exact staged pair kernel.
     The embedding / lm_head stay in magic_t deliberately: logits are the
     accuracy-critical projection and the LM head is one matvec per step,
-    so it keeps full W4A16 numerics. Stacked (3-D) MoE expert tensors are
-    left untouched (the MoE kernel has its own layout)."""
+    so it keeps full W4A16 numerics. Stacked (3-D) W4-g128 MoE expert
+    tensors convert too (kernels/moe_matmul.py _gqmm_pair_kernel: int8
+    walk, a8 at decode-regime T only)."""
     def conv(w):
         if isinstance(w, QuantizedTensor) and w.packed.ndim == 2:
             from ..ops.quantize import convert_layout
 
             return convert_layout(w, layout)
+        if (
+            isinstance(w, QuantizedTensor)
+            and w.packed.ndim == 3
+            and w.layout in ("magic_t", "pair_t")
+            and w.bits == 4
+            and w.group_size == 128
+        ):
+            from ..ops.quantize import convert_layout_stacked
+
+            return convert_layout_stacked(w, layout)
         return w
 
     new_layers = []
@@ -441,6 +452,13 @@ def convert_projection_layouts(
                 w_gate=conv(mlp.w_gate),
                 w_up=conv(mlp.w_up),
                 w_gate_up=conv(mlp.w_gate_up),
+                w_down=conv(mlp.w_down),
+            )
+        elif isinstance(mlp, MoEParams):
+            mlp = dataclasses.replace(
+                mlp,
+                w_gate=conv(mlp.w_gate),
+                w_up=conv(mlp.w_up),
                 w_down=conv(mlp.w_down),
             )
         new_layers.append(dataclasses.replace(layer, attn=attn, mlp=mlp))

@@ -74,6 +74,18 @@ def grouped_matmul(
 
         if resolve(impl) == "pallas" and w_stacked.k_padded <= MAX_RESIDENT_K:
             return grouped_quantized_matmul(grouped_x, w_stacked, group_sizes)
+        if w_stacked.layout == "pair_t" and grouped_x.shape[0] <= 128:
+            # Backend-invariant W4A8 semantics on the XLA fallback: the
+            # pair_t Pallas walk quantizes decode-regime activations to
+            # per-row absmax int8 (kernels/moe_matmul.py), so the
+            # fallback applies the same x -> sx * round(x/sx) here
+            # rather than silently computing exact W4A16 on CPU.
+            xf = grouped_x.astype(jnp.float32)
+            sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+            sx = jnp.where(sx == 0, jnp.ones_like(sx), sx)
+            grouped_x = (
+                sx * jnp.clip(jnp.round(xf / sx), -127.0, 127.0)
+            ).astype(grouped_x.dtype)
     dtype = grouped_x.dtype
     w = _dense_weight(w_stacked, dtype)  # [E, N, K]
     if use_ragged is None:

@@ -508,6 +508,36 @@ def convert_layout(qt: QuantizedTensor, layout: str) -> QuantizedTensor:
     )
 
 
+def convert_layout_stacked(qt: QuantizedTensor, layout: str) -> QuantizedTensor:
+    """Repack a STACKED (3-D, experts-leading) transposed-layout
+    QuantizedTensor into another transposed layout (magic_t <-> pair_t) —
+    exact. Uses the same flatten-experts-into-columns trick as
+    dequantize: [E, Kp/8, N] -> [Kp/8, E*N] is a pure transpose because
+    quant groups run along K."""
+    if qt.layout == layout:
+        return qt
+    assert qt.packed.ndim == 3, "use convert_layout for 2-D weights"
+    assert qt.layout in _TRANSPOSED_LAYOUTS and layout in _TRANSPOSED_LAYOUTS
+    E, _, N = qt.packed.shape
+    G = qt.k_padded // qt.group_size
+    p2 = qt.packed.transpose(1, 0, 2).reshape(qt.k_padded // 8, E * N)
+    vals = _UNPACK_T[qt.layout](p2, qt.k_padded, qt.group_size, qt.bits)
+    packed = _PACK_T[layout](
+        vals.astype(jnp.uint32), qt.group_size, qt.bits
+    ).reshape(-1, E, N).transpose(1, 0, 2)
+    return QuantizedTensor(
+        packed=packed,
+        scales=qt.scales,
+        biases=qt.biases,
+        group_size=qt.group_size,
+        bits=qt.bits,
+        out_features=qt.out_features,
+        in_features=qt.in_features,
+        k_padded=qt.k_padded,
+        layout=layout,
+    )
+
+
 def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Reconstruct the dense weight [..., N, K]: w = q * scale + bias.
 
