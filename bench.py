@@ -36,7 +36,9 @@ def serving_bench(args) -> None:
     from tiny_llm_tpu.tokenizer import ByteTokenizer
 
     cfg = QWEN3_CONFIGS[args.model]
-    params = synthetic_quantized_params(cfg, key=0)
+    params = synthetic_quantized_params(
+        cfg, key=0, layout="pair_t" if args.act_quant == "int8" else None
+    )
     model = Qwen3Model(params, cfg, max_seq_len=args.max_seq, attn_impl=args.impl,
                        act_quant=args.act_quant)
     ps = args.page_size
@@ -214,7 +216,9 @@ def main() -> None:
     from tiny_llm_tpu.models import QWEN3_CONFIGS, Qwen3Model, synthetic_quantized_params
 
     cfg = QWEN3_CONFIGS[args.model]
-    params = synthetic_quantized_params(cfg, key=0)
+    params = synthetic_quantized_params(
+        cfg, key=0, layout="pair_t" if args.act_quant == "int8" else None
+    )
     model = Qwen3Model(params, cfg, max_seq_len=args.max_seq, attn_impl=args.impl,
                        act_quant=args.act_quant)
 

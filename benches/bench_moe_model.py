@@ -71,6 +71,7 @@ def main() -> None:
     p.add_argument("--prompt-len", type=int, default=128)
     p.add_argument("--decode", type=int, default=64)
     p.add_argument("--burst", type=int, default=16)
+    p.add_argument("--act-quant", default=None, choices=["bf16", "int8"])
     args = p.parse_args()
 
     import jax
@@ -87,8 +88,15 @@ def main() -> None:
     rows = []
     for n in sorted(args.layers):
         cfg = dataclasses.replace(base, num_hidden_layers=n)
+        # pair_t synthetic construction (random bits: identical cost to
+        # magic_t) instead of post-hoc conversion, which OOMed at 24
+        # layers holding both layouts + int32 unpack temporaries.
+        params = synthetic_quantized_params(
+            cfg, key=0,
+            layout="pair_t" if args.act_quant == "int8" else None,
+        )
         model = Qwen3Model(
-            synthetic_quantized_params(cfg, key=0), cfg, max_seq_len=512
+            params, cfg, max_seq_len=512, act_quant=args.act_quant,
         )
         tok_s = measure_decode(
             model, cfg, args.prompt_len, args.decode, args.burst
@@ -99,7 +107,8 @@ def main() -> None:
         del model
 
     out = {
-        "metric": f"decode_tok_s_{args.model.replace('-', '_')}_w4a16",
+        "metric": f"decode_tok_s_{args.model.replace('-', '_')}_"
+        f"{'w4a8' if args.act_quant == 'int8' else 'w4a16'}",
         "num_experts": base.num_experts,
         "experts_per_tok": base.num_experts_per_tok,
         "rows": rows,

@@ -132,12 +132,17 @@ def random_params(
 
 
 def synthetic_quantized_params(
-    cfg: Qwen3Config, key: jax.Array | int = 0, group_size: int = 128, bits: int = 4
+    cfg: Qwen3Config, key: jax.Array | int = 0, group_size: int = 128,
+    bits: int = 4, layout: str | None = None,
 ) -> Qwen3Params:
     """Random params in the quantized storage format directly (no float
     master weights, no quantization pass) — fast construction of
     real-architecture models for benchmarking, where only shapes and
-    bandwidth matter. Scales are small so activations stay finite."""
+    bandwidth matter. Scales are small so activations stay finite.
+    `layout` overrides the projection storage layout (e.g. "pair_t" for
+    the W4A8 tier) — the packed words are random bits, so constructing
+    directly in the target layout is equivalent to converting and costs
+    no extra HBM (the 30B a8 bench OOMed holding both layouts)."""
     if isinstance(key, int):
         key = jax.random.key(key)
     counter = [0]
@@ -203,7 +208,15 @@ def synthetic_quantized_params(
         if cfg.is_moe_layer(i):
             E, I = cfg.num_experts, cfg.moe_intermediate_size
             mlp = MoEParams(
-                w_router=qlin(E, D),
+                # Router + LM head keep full W4A16 numerics whatever
+                # proj_layout says (routing/logit precision; mirrors
+                # models/qwen3.py convert_projection_layouts).
+                w_router=qlin(
+                    E, D,
+                    layout="magic_t"
+                    if (bits == 4 and group_size == 128)
+                    else "sg",
+                ),
                 w_gate=qlin(E, I, D),
                 w_up=qlin(E, I, D),
                 w_down=qlin(E, D, I),
@@ -230,7 +243,10 @@ def synthetic_quantized_params(
             else None
         )
     else:
-        lm_head = qlin(cfg.vocab_size, D)
+        lm_head = qlin(
+            cfg.vocab_size, D,
+            layout="magic_t" if (bits == 4 and group_size == 128) else "sg",
+        )
     return Qwen3Params(
         embedding=embedding,
         layers=tuple(layers),
