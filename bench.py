@@ -87,7 +87,8 @@ def serving_bench(args) -> None:
         results = batch_generate(
             model, tok, prompts, max_seq_len=args.max_seq,
             batch_size=args.batch_size, prefill_step=args.prefill_step,
-            max_output_tokens=int(outs.mean()), metrics=metrics,
+            max_output_tokens=args.max_output or int(outs.mean()),
+            metrics=metrics,
             decode_burst=args.decode_burst, arrival_times=arrival_times,
         )
         metrics.wall_s = time.perf_counter() - t0
@@ -194,6 +195,11 @@ def main() -> None:
     p.add_argument("--prefill-step", type=int, default=128)
     p.add_argument("--page-size", type=int, default=128)
     p.add_argument("--decode-burst", type=int, default=16)
+    p.add_argument("--max-output", type=int, default=None,
+                   help="serving mode: override the per-request output cap "
+                        "(default: mean of the 32-128 campaign draw). Large "
+                        "values make the workload decode-dominant, measuring "
+                        "steady-state batched decode through the scheduler")
     p.add_argument("--repeats", type=int, default=5,
                    help="timed decode samples; headline = median")
     p.add_argument("--arrival-rate", type=float, nargs="*", default=None,
