@@ -61,8 +61,13 @@ def serving_bench(args) -> None:
     # Warmup: a 255-token prompt decomposes into every power-of-two chunk
     # (128+64+32+16+8+4+2+1), compiling the FULL prefill ladder; the
     # second prompt warms max length and the batched decode shape.
+    # 255 covers the 128..1 ladder; 257 covers the 256 chunk that
+    # appears when prefill_step > 128 (its absence left the first timed
+    # campaign compiling mid-flight — the contaminated first samples in
+    # the 2026-08-22 serving-curve artifact); 1024 covers 512 + the max
+    # decode shape.
     batch_generate(
-        model, tok, ["x" * 255, "x" * 1024], max_seq_len=args.max_seq,
+        model, tok, ["x" * 255, "x" * 257, "x" * 1024], max_seq_len=args.max_seq,
         batch_size=args.batch_size, prefill_step=args.prefill_step,
         max_output_tokens=max(8, args.decode_burst), decode_burst=args.decode_burst,
     )
@@ -90,6 +95,7 @@ def serving_bench(args) -> None:
             max_output_tokens=args.max_output or int(outs.mean()),
             metrics=metrics,
             decode_burst=args.decode_burst, arrival_times=arrival_times,
+            prefill_chunks_per_iter=args.prefill_chunks_per_iter,
         )
         metrics.wall_s = time.perf_counter() - t0
         dt = metrics.wall_s
@@ -195,6 +201,11 @@ def main() -> None:
     p.add_argument("--prefill-step", type=int, default=128)
     p.add_argument("--page-size", type=int, default=128)
     p.add_argument("--decode-burst", type=int, default=16)
+    p.add_argument("--prefill-chunks-per-iter", type=int, default=None,
+                   help="serving mode: admission aggressiveness (chunks "
+                        "prefilled between decode bursts; default "
+                        "decode_burst//2). Higher fills slots faster at "
+                        "the cost of longer inter-burst gaps")
     p.add_argument("--max-output", type=int, default=None,
                    help="serving mode: override the per-request output cap "
                         "(default: mean of the 32-128 campaign draw). Large "

@@ -161,6 +161,72 @@ def smoke_quant_matmul():
         _close(got, want, atol=0.5)
 
 
+def smoke_pair_quant_matmul():
+    """Round-5 W4A8 family: pair_t decode a8 vs the exact W4A8 oracle,
+    pair a16 + staged prefill vs the dequant oracle — compiled on the
+    real device (interpret-mode parity lives in tests/test_quantize.py)."""
+    from tiny_llm_tpu.kernels.quant_matmul import quantized_matmul
+    from tiny_llm_tpu.ops.quantize import convert_layout, dequantize, quantize
+
+    rng = np.random.default_rng(15)
+    w = jnp.asarray(rng.normal(size=(512, 1024)).astype(np.float32) * 0.1)
+    qp = convert_layout(
+        jax.jit(quantize, static_argnames=("group_size", "bits", "layout"))(
+            w, layout="magic_t"
+        ),
+        "pair_t",
+    )
+    wd = np.asarray(dequantize(qp, jnp.float32))[:, :1024]
+    x = jnp.asarray(rng.normal(size=(8, 1024)), jnp.bfloat16)
+    got8 = np.asarray(
+        jax.device_get(quantized_matmul(x, qp, act="int8")), np.float32
+    )
+    xf = np.asarray(x, np.float32)
+    sx = np.abs(xf).max(axis=1, keepdims=True) / 127.0
+    xq = np.clip(np.round(xf / sx), -127, 127)
+    want8 = (sx * xq) @ wd.T
+    assert np.abs(got8 - want8).max() / max(np.abs(want8).max(), 1e-6) < 1e-2
+    for rows, act in ((8, "bf16"), (256, "bf16")):
+        xr = jnp.asarray(rng.normal(size=(rows, 1024)), jnp.bfloat16)
+        got = quantized_matmul(xr, qp, act=act)
+        _close(got, jnp.asarray(np.asarray(xr, np.float32) @ wd.T), atol=0.5)
+
+
+def smoke_moe_pair_walk():
+    from tiny_llm_tpu.kernels.moe_matmul import _gqmm_pair_pallas
+    from tiny_llm_tpu.ops.quantize import (
+        convert_layout_stacked,
+        dequantize,
+        quantize_stacked,
+    )
+
+    rng = np.random.default_rng(16)
+    E, N, K, T = 8, 256, 512, 16
+    w = jnp.asarray(rng.normal(size=(E, N, K)).astype(np.float32) * 0.1)
+    qt = jax.jit(
+        quantize_stacked, static_argnames=("group_size", "bits", "layout")
+    )(w, layout="magic_t")
+    sp = convert_layout_stacked(qt, "pair_t")
+    ids = np.sort(rng.integers(0, E, size=T))
+    sizes = jnp.asarray(np.bincount(ids, minlength=E), jnp.int32)
+    x = jnp.asarray(rng.normal(size=(T, sp.k_padded)), jnp.bfloat16)
+    wd = np.asarray(dequantize(sp, jnp.float32))
+    xf = np.asarray(x, np.float32)
+    sx = np.abs(xf).max(axis=1, keepdims=True) / 127.0
+    xq = np.clip(np.round(xf / sx), -127, 127)
+    want = np.einsum("tk,tnk->tn", sx * xq, wd[ids])
+    got = np.asarray(
+        jax.device_get(
+            _gqmm_pair_pallas(
+                x, sp.packed, sp.scales, sp.biases, sizes,
+                group_size=sp.group_size, bits=sp.bits, a8=True,
+            )
+        ),
+        np.float32,
+    )
+    assert np.abs(got - want).max() / max(np.abs(want).max(), 1e-6) < 1e-2
+
+
 def smoke_moe_gather_and_walk():
     from tiny_llm_tpu.kernels.moe_matmul import (
         _gqmm_gather_pallas,
@@ -381,6 +447,8 @@ SMOKES = [
     ("paged_prefill", smoke_paged_prefill),
     ("quant_matmul", smoke_quant_matmul),
     ("moe_gqmm", smoke_moe_gather_and_walk),
+    ("pair_quant_matmul", smoke_pair_quant_matmul),
+    ("moe_pair_walk", smoke_moe_pair_walk),
     ("split_prefill", smoke_split_prefill),
     ("fused_decode_attention", smoke_fused_decode_attention),
     ("fused_dense_model_parity", smoke_fused_dense_model_parity),
