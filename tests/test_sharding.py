@@ -822,3 +822,31 @@ def test_dp_paged_batch_generate_matches_single_device():
     )
     assert got == want
     assert model.page_pool.live_pages == 0  # all released, no leaks
+
+
+def test_tp_sharded_pair_t_matches_single_device():
+    """TP-sharded pair_t weights (round-5 W4A8 tier under a mesh): the
+    N-axis shard of a pair_t tensor is exact (packing never crosses N),
+    and per-shard activation quantization is consistent because x (and
+    so its per-row absmax) is replicated across shards. Compares the
+    sharded model against the SINGLE-DEVICE pair_t model so both sides
+    carry identical a8 semantics."""
+    from tiny_llm_tpu.models.qwen3 import convert_projection_layouts
+
+    cfg = tp_config()
+    params = random_params(cfg, key=6, quantized=True)
+    pair_params = convert_projection_layouts(params, "pair_t")
+    single = Qwen3Model(pair_params, cfg, max_seq_len=128, attn_impl="xla",
+                        fuse=False)
+    tokens = jnp.asarray([[5, 3, 8, 1, 9, 2]], jnp.int32)
+    base = np.asarray(single.forward_full(tokens), np.float32)
+
+    mesh = make_mesh(dp=1, tp=8)
+    scfg = ShardingConfig(mesh)
+    sharded_params = shard_params(pair_params, scfg)
+    for layer in sharded_params.layers:
+        assert layer.attn.wq.layout == "pair_t"
+    tp_model = Qwen3Model(sharded_params, cfg, max_seq_len=128,
+                          attn_impl="xla")
+    got = np.asarray(tp_model.forward_full(tokens), np.float32)
+    assert_allclose(got, base, jnp.bfloat16, atol=5e-2)

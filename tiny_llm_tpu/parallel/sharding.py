@@ -54,8 +54,10 @@ def _qt_spec(row: Any, col: Any, layout: str = "sg") -> dict[str, P]:
     swap relative to the logical (N, K) orientation. Scale/bias rows (the
     quant-group axis G = K/128) are REPLICATED rather than K-sharded:
     they are ~1.5% of the weight bytes, and G is often not divisible by
-    the mesh axis (e.g. Qwen3-4B down_proj G=76 with tp=8)."""
-    if layout == "magic_t":
+    the mesh axis (e.g. Qwen3-4B down_proj G=76 with tp=8). pair_t
+    shares magic_t's transposed shapes exactly (round-5 W4A8 tier), so
+    its specs are identical — N-sharding never crosses a packed word."""
+    if layout in ("magic_t", "pair_t"):
         return {
             "packed": P(col, row),
             "scales": P(None, row),
