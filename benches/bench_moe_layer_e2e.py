@@ -40,6 +40,8 @@ HBM_GBS = 819.0
 # E=64 keeps the serialized program under the cap. B*topk <= 64 routed
 # rows make the kernel work per step nearly identical to E=128.
 E, D, I, TOPK, B = 64, 2048, 768, 8, 8
+import os as _os
+B = int(_os.environ.get("TLT_MOE_E2E_B", B))  # B=1 probes the T=topk row regime
 
 
 def main():

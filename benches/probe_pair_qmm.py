@@ -9,6 +9,13 @@ each call (defeats CSE/hoisting), two-point slope inside one jit
 (amortizes the ~25 ms relay round trip), sync via jax.device_get (NOT
 block_until_ready — probe_sync.py), record raw t1/t5.
 
+KNOWN-INVALID for small shapes (kept as the incident record): with
+8-24 MB weight streams the extra timed calls execute inside the relay's
+~24 ms round-trip slack, so the slope reads ~zero whatever the kernel
+costs. The instrument that answered the question is
+benches/probe_mxu_rate.py; the valid e2e numbers live in
+benchmark_results/v5e-pair-qmm-2026-08-22.json's e2e_ab block.
+
 Usage: python benches/probe_pair_qmm.py [out.json]
 """
 

@@ -1,4 +1,4 @@
-"""Dequant-fused W4A16 matmul / matvec Pallas kernels.
+"""Dequant-fused W4A16 / W4A8 matmul-matvec Pallas kernels.
 
 TPU replacement for the reference's Metal quantized-matmul family
 (/root/reference/src/extensions_ref/src/quantized_matmul.metal:8-557 —
@@ -8,6 +8,13 @@ per program and a statically unrolled supergroup loop. Decode (M <= 8)
 just picks a small BM and wide BN — the op is weight-bandwidth-bound, so
 the only thing that matters is streaming `packed` once at full HBM
 bandwidth while the VPU dequantizes into MXU-ready bf16 tiles.
+
+Round 5 adds the pair_t / W4A8 tier (_pair_kernel): int8 nibble-pair
+extraction + s8 MXU dots with per-row absmax activation quantization at
+decode shapes, W4A16-exact staged dots at prefill. Measured: a
+single-stream-latency tier only (+5.4% B=1 ceiling) — the decode floor
+is the MXU's ~8-cycle small-M tile issue rate, not unpack work (see
+docs/kernels.md, the MXU issue-rate law).
 
 Dequantization exploits the supergroup storage layout
 (ops/quantize.py module docstring): nibble-plane j of each group_size-word
