@@ -70,6 +70,9 @@ def serving_bench(args) -> None:
         model, tok, ["x" * 255, "x" * 257, "x" * 1024], max_seq_len=args.max_seq,
         batch_size=args.batch_size, prefill_step=args.prefill_step,
         max_output_tokens=max(8, args.decode_burst), decode_burst=args.decode_burst,
+        # --mixed: the 1024 prompt prefills while the short ones decode,
+        # compiling the mixed-step shape before the timed campaigns.
+        mixed_prefill=args.mixed, mixed_chunk=args.mixed_chunk,
     )
 
     from tiny_llm_tpu.serving import ServingMetrics
@@ -96,6 +99,7 @@ def serving_bench(args) -> None:
             metrics=metrics,
             decode_burst=args.decode_burst, arrival_times=arrival_times,
             prefill_chunks_per_iter=args.prefill_chunks_per_iter,
+            mixed_prefill=args.mixed, mixed_chunk=args.mixed_chunk,
         )
         metrics.wall_s = time.perf_counter() - t0
         dt = metrics.wall_s
@@ -221,6 +225,14 @@ def main() -> None:
                         "issue floor is flat to M=32 (v5e-mxu-rate JSON), so "
                         "aggregate tok/s scales ~linearly while per-stream "
                         "cost stays ~constant; this row measures it")
+    p.add_argument("--mixed", action="store_true",
+                   help="serving mode: mixed prefill+decode step programs "
+                   "(the pending prompt's chunks ride the decode bursts' "
+                   "weight stream instead of serializing with them)")
+    p.add_argument("--mixed-chunk", type=int, default=32,
+                   help="serving mode: prefill tokens folded into EACH "
+                   "decode step of a mixed burst (admission stride = "
+                   "decode_burst * mixed_chunk)")
     p.add_argument("--act-quant", default=None, choices=["bf16", "int8"],
                    help="int8 = W4A8 decode tier (pair_t int8 nibble-pair "
                         "kernels; prefill stays W4A16-exact)")

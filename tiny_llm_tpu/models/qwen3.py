@@ -211,6 +211,43 @@ def _norm_linear(
     return _linear(rms_norm(x, norm_w, eps), w)
 
 
+def _split_qkv_rope(
+    cfg: Qwen3Config,
+    p: AttentionParams,
+    qkv: jax.Array,  # [B, L, F] — the fused qkv projection's activation
+    positions: jax.Array,  # [B, L] int32
+    rope_tabs: tuple[jax.Array, jax.Array],
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Split a fused-qkv activation + QK-RMSNorm + RoPE -> q [B,Hq,L,D],
+    k/v [B,Hkv,L,D]. Factored out of _qkv so callers that batch SEVERAL
+    logical sequences through one projection matmul (the mixed
+    prefill+decode step) can split each slice at its own positions."""
+    B, L, _ = qkv.shape
+    cos_t, sin_t = rope_tabs
+    hd = cfg.head_dim
+    dq = cfg.num_attention_heads * hd
+    dkv = cfg.num_key_value_heads * hd
+    if p.qkv_interleaved:
+        nr = cfg.num_attention_heads // cfg.num_key_value_heads
+        rows = qkv.reshape(B, L, cfg.num_key_value_heads, (nr + 2) * hd)
+        q = rows[..., : nr * hd].reshape(B, L, cfg.num_attention_heads, hd)
+        k = rows[..., nr * hd : (nr + 1) * hd]
+        v = rows[..., (nr + 1) * hd :]
+    else:
+        q = qkv[..., :dq].reshape(B, L, cfg.num_attention_heads, hd)
+        k = qkv[..., dq : dq + dkv].reshape(B, L, cfg.num_key_value_heads, hd)
+        v = qkv[..., dq + dkv :].reshape(B, L, cfg.num_key_value_heads, hd)
+    q = rms_norm(q, p.q_norm, cfg.rms_norm_eps)
+    k = rms_norm(k, p.k_norm, cfg.rms_norm_eps)
+    q = apply_rope(q, cos_t, sin_t, positions, hd)
+    k = apply_rope(k, cos_t, sin_t, positions, hd)
+    return (
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+    )
+
+
 def _qkv(
     cfg: Qwen3Config,
     p: AttentionParams,
@@ -226,36 +263,13 @@ def _qkv(
     eps = cfg.rms_norm_eps
     cos_t, sin_t = rope_tabs
     if p.wqkv is not None:
-        dq = cfg.num_attention_heads * cfg.head_dim
-        dkv = cfg.num_key_value_heads * cfg.head_dim
         qkv = _norm_linear(x, p.wqkv, norm_w, eps)
-        if p.qkv_interleaved:
-            hd = cfg.head_dim
-            nr = cfg.num_attention_heads // cfg.num_key_value_heads
-            rows = qkv.reshape(
-                B, L, cfg.num_key_value_heads, (nr + 2) * hd
-            )
-            q = rows[..., : nr * hd].reshape(
-                B, L, cfg.num_attention_heads, hd
-            )
-            k = rows[..., nr * hd : (nr + 1) * hd]
-            v = rows[..., (nr + 1) * hd :]
-        else:
-            q = qkv[..., :dq].reshape(
-                B, L, cfg.num_attention_heads, cfg.head_dim
-            )
-            k = qkv[..., dq : dq + dkv].reshape(
-                B, L, cfg.num_key_value_heads, cfg.head_dim
-            )
-            v = qkv[..., dq + dkv :].reshape(
-                B, L, cfg.num_key_value_heads, cfg.head_dim
-            )
-    else:
-        if norm_w is not None:
-            x = rms_norm(x, norm_w, eps)
-        q = _linear(x, p.wq).reshape(B, L, cfg.num_attention_heads, cfg.head_dim)
-        k = _linear(x, p.wk).reshape(B, L, cfg.num_key_value_heads, cfg.head_dim)
-        v = _linear(x, p.wv).reshape(B, L, cfg.num_key_value_heads, cfg.head_dim)
+        return _split_qkv_rope(cfg, p, qkv, positions, rope_tabs)
+    if norm_w is not None:
+        x = rms_norm(x, norm_w, eps)
+    q = _linear(x, p.wq).reshape(B, L, cfg.num_attention_heads, cfg.head_dim)
+    k = _linear(x, p.wk).reshape(B, L, cfg.num_key_value_heads, cfg.head_dim)
+    v = _linear(x, p.wv).reshape(B, L, cfg.num_key_value_heads, cfg.head_dim)
     q = rms_norm(q, p.q_norm, cfg.rms_norm_eps)
     k = rms_norm(k, p.k_norm, cfg.rms_norm_eps)
     q = apply_rope(q, cos_t, sin_t, positions, cfg.head_dim)
@@ -888,6 +902,203 @@ def forward_decode_burst_paged(
     return toks, kp, vp
 
 
+def forward_mixed_burst_paged(
+    params: Qwen3Params,
+    cfg: Qwen3Config,
+    rope_tabs: tuple[jax.Array, jax.Array],
+    tokens0: jax.Array,  # [B] int32 — first decode token per slot
+    offsets0: jax.Array,  # [B] int32
+    key_pages,  # tuple of per-layer page buffers (donated)
+    value_pages,  # (donated)
+    block_table: jax.Array,  # [B, W] — decode slots; must cover offsets0+steps
+    p_chunks: jax.Array,  # [steps, c] int32 — the pending prompt's sub-chunks
+    p_offsets: jax.Array,  # [steps] int32 — context length before each sub-chunk
+    p_block_table: jax.Array,  # [1, W] — the pending request's pages
+    *,
+    steps: int,
+    attn_impl: str | None = None,
+    fused_attn: bool = True,
+    fused_one: bool = True,
+    temp: float = 0.0,
+    top_k: int | None = None,
+    top_p: float | None = None,
+    rng0: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """K decode steps AND K prefill sub-chunks of the pending request in
+    ONE dispatch — the mixed prefill+decode step program (POD-style).
+
+    Each scan step runs the batched decode rows (B tokens) and c tokens of
+    the pending request's prefill through the SAME projection / MLP
+    matmuls: the combined activation is [1, B + c, D], so every weight
+    matrix streams from HBM once per step instead of once for decode plus
+    once for prefill. On the v5e the MXU issues a [M<=32,128]x[128,128]
+    tile in ~8 cycles regardless of M (benchmark_results/
+    v5e-mxu-rate-2026-08-22.json), so the extra prefill rows ride the
+    decode step's weight stream nearly free — this is what the serialized
+    scheduler (at most one prefill chunk between bursts, reference
+    batch.py:120-221) can never exploit, and why the serving campaign was
+    admission-bound (docs/serving.md "operating curve").
+
+    Attention stays per-logical-sequence: decode rows take the fused
+    one-Pallas-call paged path (or its XLA twin off-TPU), the prefill
+    slice writes its K/V pages then runs the paged causal kernel over its
+    own block-table row. Both requests' pages live in the same pool;
+    their block tables are disjoint by construction.
+
+    Returns (tokens [steps, B], p_logits [V] f32 — the LAST sub-chunk
+    token's logits, i.e. the pending request's next-token logits once the
+    chunk completes its prompt — and the updated pools).
+    """
+    from ..kernels import paged_attention
+    from ..kernels.dispatch import resolve
+    from ..kernels.fused_decode_attention import fused_paged_decode_attention
+    from ..kernels.paged_attention_pallas import scan_scope
+
+    sample = None if temp == 0 else make_sampler(temp, top_p, top_k)
+    B = tokens0.shape[0]
+    c = p_chunks.shape[1]
+    ps = key_pages[0].shape[2]
+    scale = cfg.head_dim**-0.5
+    n_rep = cfg.num_attention_heads // cfg.num_key_value_heads
+    use_fused = (
+        fused_attn
+        and fused_one
+        and isinstance(attn_impl, (str, type(None)))
+        and resolve(attn_impl) == "pallas"
+        and all(
+            layer.attn.wqkv is not None and layer.attn.qkv_interleaved
+            for layer in params.layers
+        )
+    )
+    vocab = cfg.vocab_size
+
+    def body(carry, x):
+        tokens, offsets, kp, vp, _ = carry
+        if sample is None:
+            chunk, p_off = x
+            step_key = None
+        else:
+            chunk, p_off, step_key = x
+        kp, vp = list(kp), list(vp)
+        maxw = block_table.shape[1] - 1
+        # Decode rows' write targets (idle slots: -1 tables clamp to the
+        # trash page — page 0 — same contract as forward_step_paged).
+        d_pos = offsets[:, None]  # [B, 1]
+        d_page = jnp.maximum(
+            jnp.take_along_axis(
+                block_table, jnp.minimum(d_pos // ps, maxw), axis=1
+            ),
+            0,
+        )
+        d_slot = d_pos % ps
+        # Prefill sub-chunk positions + write targets.
+        p_pos = (p_off + jnp.arange(c, dtype=jnp.int32))[None, :]  # [1, c]
+        p_page = jnp.maximum(
+            jnp.take_along_axis(
+                p_block_table, jnp.minimum(p_pos // ps, maxw), axis=1
+            ),
+            0,
+        )
+        p_slot = p_pos % ps
+        p_len = (p_off + c).reshape(1)
+
+        h = jnp.concatenate(
+            [_embed(params, tokens[None, :]), _embed(params, chunk[None, :])],
+            axis=1,
+        )  # [1, B + c, D]
+        if use_fused:
+            cos_row = jnp.take(rope_tabs[0], offsets, axis=0)
+            sin_row = jnp.take(rope_tabs[1], offsets, axis=0)
+        zero = jnp.int32(0)
+        for i, layer in enumerate(params.layers):
+            qkv = _norm_linear(
+                h, layer.attn.wqkv, layer.input_layernorm, cfg.rms_norm_eps
+            )  # [1, B + c, F] — ONE weight stream for decode + prefill
+            # Prefill slice: split + norm + rope at its own positions,
+            # write K/V pages BEFORE attention (scatter-then-read, the
+            # unfused chunk path's order, forward_step_paged).
+            q_p, k_p, v_p = _split_qkv_rope(
+                cfg, layer.attn, qkv[:, B:], p_pos, rope_tabs
+            )
+            kp[i] = kp[i].at[p_page, :, p_slot, :].set(
+                k_p.transpose(0, 2, 1, 3).astype(kp[i].dtype)
+            )
+            vp[i] = vp[i].at[p_page, :, p_slot, :].set(
+                v_p.transpose(0, 2, 1, 3).astype(vp[i].dtype)
+            )
+            # Decode slice.
+            if use_fused:
+                qkv_rows = qkv[0, :B].reshape(
+                    B, cfg.num_key_value_heads, n_rep + 2, cfg.head_dim
+                )
+                attn_d, k_row, v_row = fused_paged_decode_attention(
+                    qkv_rows, kp[i], vp[i], block_table, offsets,
+                    cos_row, sin_row,
+                    layer.attn.q_norm, layer.attn.k_norm,
+                    scale=scale, eps=cfg.rms_norm_eps,
+                )
+                for b in range(B):
+                    kp[i] = jax.lax.dynamic_update_slice(
+                        kp[i], k_row[b][None].astype(kp[i].dtype),
+                        (d_page[b, 0], zero, d_slot[b, 0], zero))
+                    vp[i] = jax.lax.dynamic_update_slice(
+                        vp[i], v_row[b][None].astype(vp[i].dtype),
+                        (d_page[b, 0], zero, d_slot[b, 0], zero))
+                attn_d = attn_d.reshape(1, B, -1)
+            else:
+                q_d, k_d, v_d = _split_qkv_rope(
+                    cfg, layer.attn, qkv[0, :B][:, None, :],
+                    offsets[:, None], rope_tabs,
+                )
+                kp[i] = kp[i].at[d_page, :, d_slot, :].set(
+                    k_d.transpose(0, 2, 1, 3).astype(kp[i].dtype)
+                )
+                vp[i] = vp[i].at[d_page, :, d_slot, :].set(
+                    v_d.transpose(0, 2, 1, 3).astype(vp[i].dtype)
+                )
+                a4 = paged_attention(
+                    q_d, kp[i], vp[i], block_table, offsets + 1,
+                    scale=scale, mask="causal", impl=attn_impl,
+                )  # [B, Hq, 1, D]
+                attn_d = a4.transpose(0, 2, 1, 3).reshape(1, B, -1)
+            # Prefill attention over its own pages (its sub-chunk K/V is
+            # already written; causal within the chunk via q_pos).
+            a_p = paged_attention(
+                q_p, kp[i], vp[i], p_block_table, p_len,
+                scale=scale, mask="causal", impl=attn_impl,
+            )  # [1, Hq, c, D]
+            attn_p = a_p.transpose(0, 2, 1, 3).reshape(1, c, -1)
+            attn = jnp.concatenate([attn_d, attn_p], axis=1)
+            h = _linear(attn, layer.attn.wo, residual=h)
+            h = _mlp(cfg, layer.mlp, h,
+                     norm_w=layer.post_attention_layernorm, residual=h)
+        # LM head over the decode rows + the LAST prefill token only
+        # (M = B+1: the prefill rows would multiply the vocab matmul's
+        # row count for logits nobody reads mid-chunk).
+        h_sel = jnp.concatenate([h[0, :B], h[0, B + c - 1 : B + c]], axis=0)
+        h_sel = rms_norm(h_sel, params.final_norm, cfg.rms_norm_eps)
+        logits = _lm_head(params, h_sel[None])[0]  # [B + 1, V]
+        lp = logits[:B].astype(jnp.float32)
+        if sample is None:
+            nxt = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+        else:
+            nxt = sample(jax.nn.log_softmax(lp, axis=-1), step_key)
+        p_logit = logits[B].astype(jnp.float32)
+        return (nxt, offsets + 1, tuple(kp), tuple(vp), p_logit), nxt
+
+    if sample is None:
+        xs = (p_chunks, p_offsets)
+    else:
+        xs = (p_chunks, p_offsets, jax.random.split(rng0, steps))
+    p0 = jnp.zeros((vocab,), jnp.float32)
+    with scan_scope():
+        (_, _, kp, vp, p_logit), toks = jax.lax.scan(
+            body, (tokens0, offsets0, key_pages, value_pages, p0),
+            xs=xs, length=steps,
+        )
+    return toks, p_logit, kp, vp
+
+
 def _scatter_rows(
     buf: jax.Array,  # [num_layers, B, H, S_max, D]
     layer: int,
@@ -1022,6 +1233,14 @@ class Qwen3Model:
             ),
             static_argnames=("window", "steps", "temp", "top_k", "top_p"),
             donate_argnames=("keys", "values"),
+        )
+        self._mixed_burst_jit = jax.jit(
+            functools.partial(
+                forward_mixed_burst_paged, cfg=cfg, attn_impl=attn_impl,
+                fused_attn=self.fused_attn, fused_one=self.paged_fused_one,
+            ),
+            static_argnames=("steps", "temp", "top_k", "top_p"),
+            donate_argnames=("key_pages", "value_pages"),
         )
         self.page_pool = None
 
@@ -1232,6 +1451,84 @@ class Qwen3Model:
             if c is not None:
                 c.advance(steps)
         return out
+
+    @property
+    def supports_mixed(self) -> bool:
+        """True when mixed prefill+decode bursts are available: a paged
+        pool, a plain (non-strategy) attention impl, and fused qkv
+        weights on every layer (the shared projection matmul is the whole
+        point of the mixed step)."""
+        return (
+            self.page_pool is not None
+            and isinstance(self.attn_impl, (str, type(None)))
+            and all(l.attn.wqkv is not None for l in self.params.layers)
+        )
+
+    def mixed_burst(
+        self,
+        cache,  # PagedBatchingKVCache — the decode slots
+        first_tokens: np.ndarray,  # [B] int32 — next token per slot
+        steps: int,
+        pending_cache,  # PagedKVCache — the pending request's pages
+        chunk_tokens,  # sequence of int — steps*c prompt tokens to prefill
+        *,
+        temp: float = 0.0,
+        top_k: int | None = None,
+        top_p: float | None = None,
+        rng: jax.Array | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """`steps` decode tokens for every active slot AND len(chunk_tokens)
+        prefill tokens of the pending request in ONE dispatch + ONE fetch
+        (the mixed prefill+decode step program — forward_mixed_burst_paged).
+        Returns (tokens [steps, B] int32, p_logits [V] f32 — the logits
+        after the chunk's last token). Slots advance by `steps`, the
+        pending cache by len(chunk_tokens)."""
+        from ..kv.paged import PagedBatchingKVCache
+
+        assert isinstance(cache, PagedBatchingKVCache)
+        assert temp == 0 or rng is not None, "sampled burst needs rng"
+        C = len(chunk_tokens)
+        assert steps > 0 and C > 0 and C % steps == 0, (steps, C)
+        c = C // steps
+        pool = cache.pool
+        assert pending_cache.pool is pool, "pending must share the pool"
+        p_off0 = pending_cache.offset
+        for s in cache.slots:
+            if s is not None:
+                s.ensure_capacity(s.offset + steps)
+        pending_cache.ensure_capacity(p_off0 + C)
+        table_np = cache.block_table(self._paged_width)
+        p_table = np.asarray(
+            [pending_cache.block_table_row(self._paged_width)], np.int32
+        )
+        toks, p_logit, kp, vp = self._mixed_burst_jit(
+            self.params,
+            rope_tabs=self._rope_tables,
+            tokens0=jnp.asarray(first_tokens, jnp.int32),
+            offsets0=jnp.asarray(cache.offsets),
+            key_pages=pool.key_pages,
+            value_pages=pool.value_pages,
+            block_table=jnp.asarray(table_np),
+            p_chunks=jnp.asarray(
+                np.asarray(chunk_tokens, np.int32).reshape(steps, c)
+            ),
+            p_offsets=jnp.asarray(
+                p_off0 + np.arange(steps, dtype=np.int32) * c
+            ),
+            p_block_table=jnp.asarray(p_table),
+            steps=steps,
+            temp=temp,
+            top_k=top_k,
+            top_p=top_p,
+            rng0=rng,
+        )
+        pool.update_tensors(kp, vp)
+        toks, p_logit = jax.device_get((toks, p_logit))
+        for s in cache.slots:
+            if s is not None:
+                s.advance(steps)
+        pending_cache.advance(C)
+        return np.asarray(toks, np.int32), np.asarray(p_logit, np.float32)
 
     def _call_paged(self, inputs, offset, cache, logits_to_keep):
         from ..kv.paged import PagedBatchingKVCache, PagedKVCache

@@ -158,6 +158,8 @@ def batch_generate(
     top_p: float | None = None,
     seed: int = 0,
     arrival_times: list[float] | None = None,
+    mixed_prefill: bool = False,
+    mixed_chunk: int = 32,
 ) -> list[tuple[int, str]]:
     """Serve `prompts` with continuous batching; returns (prompt_idx, text).
 
@@ -174,6 +176,17 @@ def batch_generate(
     arrival when nothing is in flight. TTFT percentiles then measure the
     system's response to offered load instead of batch-division
     arithmetic — see bench.py --mode serving --arrival-rate.
+
+    `mixed_prefill=True` replaces the serialize-then-burst schedule with
+    MIXED prefill+decode step programs when a pending prefill coexists
+    with active decode slots: each burst dispatch also advances the
+    pending prompt by decode_burst * mixed_chunk tokens, riding the
+    decode steps' weight stream (models/qwen3.py
+    forward_mixed_burst_paged). Admission stops serializing with decode —
+    the structural fix for the admission-bound operating curve
+    (docs/serving.md). Chunks smaller than one mixed stride (prompt
+    remainders, bootstrap before any slot is active) still take the
+    classic path.
     """
     del use_paged  # the cache objects carry the paged/dense distinction
     sampler = make_sampler(temp, top_p, top_k) if temp > 0 else None
@@ -200,6 +213,26 @@ def batch_generate(
     result: list[tuple[int, str]] = []
     pending: Request | None = None
     start = time.monotonic()
+
+    mixed_ok = (
+        mixed_prefill
+        and decode_burst > 1
+        and getattr(model, "supports_mixed", False)
+        and getattr(kv_cache, "owns_added_requests", False)
+    )
+
+    def mixed_handles_prefill() -> bool:
+        """True when THIS iteration's burst will advance the pending
+        prefill as a mixed step (so the classic chunk loop must leave it
+        alone)."""
+        return (
+            mixed_ok
+            and pending is not None
+            and not pending.is_prefill_done
+            and any(r is not None for r in decode_requests)
+            and len(pending.prefill_tokens) - pending.offset
+            >= decode_burst * mixed_chunk
+        )
 
     while True:
         if not queue and all(r is None for r in decode_requests) and pending is None:
@@ -256,6 +289,8 @@ def batch_generate(
             if pending is None:
                 break
             if not pending.is_prefill_done:
+                if mixed_handles_prefill():
+                    break  # the burst below advances it as a mixed step
                 pending.try_prefill()
             if pending.is_prefill_done:
                 if pending.is_done:
@@ -304,7 +339,39 @@ def batch_generate(
                 and hasattr(model, "decode_burst")
                 and getattr(kv_cache, "owns_added_requests", False)
             )
-            if can_burst:
+            if mixed_handles_prefill():
+                # Mixed step program: this burst ALSO advances the
+                # pending prefill by decode_burst * mixed_chunk tokens
+                # through the same weight stream.
+                chunk = pending.prefill_tokens[
+                    pending.offset : pending.offset
+                    + decode_burst * mixed_chunk
+                ]
+                if sampler is not None:
+                    base_key, sub = jax.random.split(base_key)
+                    toks, p_logit = model.mixed_burst(
+                        kv_cache, np.asarray(next_tokens, np.int32),
+                        decode_burst, pending.kv_cache, chunk,
+                        temp=temp, top_k=top_k, top_p=top_p, rng=sub,
+                    )
+                else:
+                    toks, p_logit = model.mixed_burst(
+                        kv_cache, np.asarray(next_tokens, np.int32),
+                        decode_burst, pending.kv_cache, chunk,
+                    )
+                pending.offset += len(chunk)
+                if pending.offset == len(pending.prefill_tokens):
+                    pending.is_prefill_done = True
+                    if pending.sampler is not None:
+                        pending.rng, sub = jax.random.split(pending.rng)
+                        lp = jax.nn.log_softmax(
+                            jnp.asarray(p_logit)[None], axis=-1
+                        )
+                        tok = int(np.asarray(pending.sampler(lp, sub))[0])
+                    else:
+                        tok = int(np.argmax(p_logit))
+                    pending.decode_done(tok, update_offset=False)
+            elif can_burst:
                 if sampler is not None:
                     base_key, sub = jax.random.split(base_key)
                     toks = model.decode_burst(
