@@ -991,15 +991,20 @@ def forward_mixed_burst_paged(
             0,
         )
         d_slot = d_pos % ps
-        # Prefill sub-chunk positions + write targets.
+        # Prefill sub-chunk positions + write target. c | ps and
+        # p_off % c == 0 (asserted by mixed_burst / gated by the
+        # scheduler), so the whole sub-chunk lives in ONE page: its K/V
+        # lands as a single dynamic_update_slice per layer — the in-place
+        # idiom the fused decode path uses. (The first cut scattered via
+        # .at[p_page, :, p_slot].set(); with Pallas calls reading the
+        # same scan-carried buffer, XLA resolved the hazard with
+        # whole-pool copies per layer per step — the _scatter_rows
+        # hazard class — and the mixed A/B LOST 120 vs 162 tok/s.)
         p_pos = (p_off + jnp.arange(c, dtype=jnp.int32))[None, :]  # [1, c]
-        p_page = jnp.maximum(
-            jnp.take_along_axis(
-                p_block_table, jnp.minimum(p_pos // ps, maxw), axis=1
-            ),
-            0,
+        p_page0 = jnp.maximum(
+            p_block_table[0, jnp.minimum(p_off // ps, maxw)], 0
         )
-        p_slot = p_pos % ps
+        p_slot0 = p_off % ps
         p_len = (p_off + c).reshape(1)
 
         h = jnp.concatenate(
@@ -1015,16 +1020,16 @@ def forward_mixed_burst_paged(
                 h, layer.attn.wqkv, layer.input_layernorm, cfg.rms_norm_eps
             )  # [1, B + c, F] — ONE weight stream for decode + prefill
             # Prefill slice: split + norm + rope at its own positions,
-            # write K/V pages BEFORE attention (scatter-then-read, the
-            # unfused chunk path's order, forward_step_paged).
+            # write K/V BEFORE attention (write-then-read, the unfused
+            # chunk path's order) — one in-place DUS per layer.
             q_p, k_p, v_p = _split_qkv_rope(
                 cfg, layer.attn, qkv[:, B:], p_pos, rope_tabs
             )
-            kp[i] = kp[i].at[p_page, :, p_slot, :].set(
-                k_p.transpose(0, 2, 1, 3).astype(kp[i].dtype)
+            kp[i] = jax.lax.dynamic_update_slice(
+                kp[i], k_p.astype(kp[i].dtype), (p_page0, zero, p_slot0, zero)
             )
-            vp[i] = vp[i].at[p_page, :, p_slot, :].set(
-                v_p.transpose(0, 2, 1, 3).astype(vp[i].dtype)
+            vp[i] = jax.lax.dynamic_update_slice(
+                vp[i], v_p.astype(vp[i].dtype), (p_page0, zero, p_slot0, zero)
             )
             # Decode slice.
             if use_fused:
@@ -1493,6 +1498,16 @@ class Qwen3Model:
         pool = cache.pool
         assert pending_cache.pool is pool, "pending must share the pool"
         p_off0 = pending_cache.offset
+        # Single-page sub-chunk writes (one in-place DUS per layer) need
+        # every sub-chunk inside one page: c | page_size and an aligned
+        # starting offset. The scheduler gates on the same conditions.
+        assert c <= pool.page_size and pool.page_size % c == 0, (
+            f"mixed chunk {c} must divide page size {pool.page_size}"
+        )
+        assert p_off0 % c == 0, (
+            f"pending offset {p_off0} must be a multiple of the mixed "
+            f"chunk {c}"
+        )
         for s in cache.slots:
             if s is not None:
                 s.ensure_capacity(s.offset + steps)

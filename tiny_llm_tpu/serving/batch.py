@@ -219,6 +219,9 @@ def batch_generate(
         and decode_burst > 1
         and getattr(model, "supports_mixed", False)
         and getattr(kv_cache, "owns_added_requests", False)
+        # Mixed sub-chunks land as single-page in-place writes: the
+        # chunk must divide the page size (models/qwen3.py mixed_burst).
+        and model.page_pool.page_size % mixed_chunk == 0
     )
 
     def mixed_handles_prefill() -> bool:
@@ -229,6 +232,7 @@ def batch_generate(
             mixed_ok
             and pending is not None
             and not pending.is_prefill_done
+            and pending.offset % mixed_chunk == 0
             and any(r is not None for r in decode_requests)
             and len(pending.prefill_tokens) - pending.offset
             >= decode_burst * mixed_chunk
