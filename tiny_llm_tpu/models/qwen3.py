@@ -902,6 +902,20 @@ def forward_decode_burst_paged(
     return toks, kp, vp
 
 
+@dataclasses.dataclass
+class MixedStep:
+    """One scheduled prefill sub-chunk of a mixed burst step
+    (Qwen3Model.mixed_burst): `cache` owns the request's pages, `tokens`
+    are its 1..c real prompt tokens starting at context length `offset`
+    (a multiple of the mixed chunk), `sample_key` seeds the completion
+    draw when the sub-chunk ends the prompt under temp > 0."""
+
+    cache: Any
+    tokens: Any
+    offset: int
+    sample_key: Any = None
+
+
 def forward_mixed_burst_paged(
     params: Qwen3Params,
     cfg: Qwen3Config,
@@ -911,9 +925,11 @@ def forward_mixed_burst_paged(
     key_pages,  # tuple of per-layer page buffers (donated)
     value_pages,  # (donated)
     block_table: jax.Array,  # [B, W] — decode slots; must cover offsets0+steps
-    p_chunks: jax.Array,  # [steps, c] int32 — the pending prompt's sub-chunks
+    p_chunks: jax.Array,  # [steps, c] int32 — per-step prefill sub-chunks
     p_offsets: jax.Array,  # [steps] int32 — context length before each sub-chunk
-    p_block_table: jax.Array,  # [1, W] — the pending request's pages
+    p_tables: jax.Array,  # [steps, W] int32 — per-step block-table row (-1 rows = idle)
+    p_last: jax.Array,  # [steps] int32 — index of the last REAL token per sub-chunk
+    p_keys: jax.Array | None,  # [steps] PRNG keys for completion draws (sampled mode)
     *,
     steps: int,
     attn_impl: str | None = None,
@@ -924,30 +940,39 @@ def forward_mixed_burst_paged(
     top_p: float | None = None,
     rng0: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """K decode steps AND K prefill sub-chunks of the pending request in
-    ONE dispatch — the mixed prefill+decode step program (POD-style).
+    """K decode steps AND K prefill sub-chunks in ONE dispatch — the
+    mixed prefill+decode step program (POD-style).
 
-    Each scan step runs the batched decode rows (B tokens) and c tokens of
-    the pending request's prefill through the SAME projection / MLP
-    matmuls: the combined activation is [1, B + c, D], so every weight
-    matrix streams from HBM once per step instead of once for decode plus
-    once for prefill. On the v5e the MXU issues a [M<=32,128]x[128,128]
-    tile in ~8 cycles regardless of M (benchmark_results/
-    v5e-mxu-rate-2026-08-22.json), so the extra prefill rows ride the
-    decode step's weight stream nearly free — this is what the serialized
-    scheduler (at most one prefill chunk between bursts, reference
-    batch.py:120-221) can never exploit, and why the serving campaign was
-    admission-bound (docs/serving.md "operating curve").
+    Each scan step runs the batched decode rows (B tokens) and c prefill
+    tokens through the SAME projection / MLP matmuls: the combined
+    activation is [1, B + c, D], so every weight matrix streams from HBM
+    once per step instead of once for decode plus once for prefill. On
+    the v5e the MXU issues a [M<=32,128]x[128,128] tile in ~8 cycles
+    regardless of M (benchmark_results/v5e-mxu-rate-2026-08-22.json), so
+    the extra prefill rows ride the decode step's weight stream nearly
+    free — this is what the serialized scheduler (at most one prefill
+    chunk between bursts, reference batch.py:120-221) can never exploit,
+    and why the serving campaign was admission-bound (docs/serving.md
+    "operating curve").
 
-    Attention stays per-logical-sequence: decode rows take the fused
-    one-Pallas-call paged path (or its XLA twin off-TPU), the prefill
-    slice writes its K/V pages then runs the paged causal kernel over its
-    own block-table row. Both requests' pages live in the same pool;
-    their block tables are disjoint by construction.
+    The per-step arrays form a SCHEDULE: step t prefills c tokens of
+    whichever request the host assigned to it (p_tables[t] names its
+    pages), so one burst streams several queued prompts back-to-back.
+    A sub-chunk whose prompt ends mid-chunk carries garbage padding —
+    p_last[t] marks the last real token; the garbage K/V lands in the
+    request's own reserved final page at slots the request's decode
+    overwrites before any read (write-then-read, same contract as idle
+    decode slots). Steps with nothing to prefill carry an all -1 table
+    row (clamped to the trash page) and are discarded. Attention stays
+    per-logical-sequence: decode rows take the fused one-Pallas-call
+    paged path (or its XLA twin off-TPU); the prefill slice writes its
+    K/V as ONE in-place dynamic_update_slice per layer (c divides the
+    page size and offsets are c-aligned, so a sub-chunk never straddles
+    pages) and runs the paged causal kernel over its own table row.
 
-    Returns (tokens [steps, B], p_logits [V] f32 — the LAST sub-chunk
-    token's logits, i.e. the pending request's next-token logits once the
-    chunk completes its prompt — and the updated pools).
+    Returns (decode tokens [steps, B], completion tokens [steps] — step
+    t's draw from the logits at its sub-chunk's last real token, valid
+    exactly when that step completes a prompt — and the updated pools).
     """
     from ..kernels import paged_attention
     from ..kernels.dispatch import resolve
@@ -970,15 +995,13 @@ def forward_mixed_burst_paged(
             for layer in params.layers
         )
     )
-    vocab = cfg.vocab_size
-
     def body(carry, x):
-        tokens, offsets, kp, vp, _ = carry
+        tokens, offsets, kp, vp = carry
         if sample is None:
-            chunk, p_off = x
-            step_key = None
+            chunk, p_off, p_tab, last_idx = x
+            step_key = p_key = None
         else:
-            chunk, p_off, step_key = x
+            chunk, p_off, p_tab, last_idx, p_key, step_key = x
         kp, vp = list(kp), list(vp)
         maxw = block_table.shape[1] - 1
         # Decode rows' write targets (idle slots: -1 tables clamp to the
@@ -1001,11 +1024,10 @@ def forward_mixed_burst_paged(
         # whole-pool copies per layer per step — the _scatter_rows
         # hazard class — and the mixed A/B LOST 120 vs 162 tok/s.)
         p_pos = (p_off + jnp.arange(c, dtype=jnp.int32))[None, :]  # [1, c]
-        p_page0 = jnp.maximum(
-            p_block_table[0, jnp.minimum(p_off // ps, maxw)], 0
-        )
+        p_page0 = jnp.maximum(p_tab[jnp.minimum(p_off // ps, maxw)], 0)
         p_slot0 = p_off % ps
         p_len = (p_off + c).reshape(1)
+        p_tab2 = p_tab[None, :]  # [1, W] — this step's request
 
         h = jnp.concatenate(
             [_embed(params, tokens[None, :]), _embed(params, chunk[None, :])],
@@ -1069,7 +1091,7 @@ def forward_mixed_burst_paged(
             # Prefill attention over its own pages (its sub-chunk K/V is
             # already written; causal within the chunk via q_pos).
             a_p = paged_attention(
-                q_p, kp[i], vp[i], p_block_table, p_len,
+                q_p, kp[i], vp[i], p_tab2, p_len,
                 scale=scale, mask="causal", impl=attn_impl,
             )  # [1, Hq, c, D]
             attn_p = a_p.transpose(0, 2, 1, 3).reshape(1, c, -1)
@@ -1077,31 +1099,38 @@ def forward_mixed_burst_paged(
             h = _linear(attn, layer.attn.wo, residual=h)
             h = _mlp(cfg, layer.mlp, h,
                      norm_w=layer.post_attention_layernorm, residual=h)
-        # LM head over the decode rows + the LAST prefill token only
-        # (M = B+1: the prefill rows would multiply the vocab matmul's
-        # row count for logits nobody reads mid-chunk).
-        h_sel = jnp.concatenate([h[0, :B], h[0, B + c - 1 : B + c]], axis=0)
+        # LM head over the decode rows + the sub-chunk's LAST REAL token
+        # only (M = B+1: the other prefill rows would multiply the vocab
+        # matmul's row count for logits nobody reads mid-chunk).
+        h_p_last = jax.lax.dynamic_index_in_dim(
+            h[0], B + last_idx, axis=0, keepdims=True
+        )  # [1, D]
+        h_sel = jnp.concatenate([h[0, :B], h_p_last], axis=0)
         h_sel = rms_norm(h_sel, params.final_norm, cfg.rms_norm_eps)
         logits = _lm_head(params, h_sel[None])[0]  # [B + 1, V]
         lp = logits[:B].astype(jnp.float32)
+        cp = logits[B:].astype(jnp.float32)  # [1, V]
         if sample is None:
             nxt = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+            comp = jnp.argmax(cp, axis=-1).astype(jnp.int32)[0]
         else:
             nxt = sample(jax.nn.log_softmax(lp, axis=-1), step_key)
-        p_logit = logits[B].astype(jnp.float32)
-        return (nxt, offsets + 1, tuple(kp), tuple(vp), p_logit), nxt
+            comp = sample(jax.nn.log_softmax(cp, axis=-1), p_key)[0]
+        return (nxt, offsets + 1, tuple(kp), tuple(vp)), (nxt, comp)
 
     if sample is None:
-        xs = (p_chunks, p_offsets)
+        xs = (p_chunks, p_offsets, p_tables, p_last)
     else:
-        xs = (p_chunks, p_offsets, jax.random.split(rng0, steps))
-    p0 = jnp.zeros((vocab,), jnp.float32)
+        xs = (
+            p_chunks, p_offsets, p_tables, p_last,
+            p_keys, jax.random.split(rng0, steps),
+        )
     with scan_scope():
-        (_, _, kp, vp, p_logit), toks = jax.lax.scan(
-            body, (tokens0, offsets0, key_pages, value_pages, p0),
+        (_, _, kp, vp), (toks, comp_toks) = jax.lax.scan(
+            body, (tokens0, offsets0, key_pages, value_pages),
             xs=xs, length=steps,
         )
-    return toks, p_logit, kp, vp
+    return toks, comp_toks, kp, vp
 
 
 def _scatter_rows(
@@ -1474,49 +1503,63 @@ class Qwen3Model:
         cache,  # PagedBatchingKVCache — the decode slots
         first_tokens: np.ndarray,  # [B] int32 — next token per slot
         steps: int,
-        pending_cache,  # PagedKVCache — the pending request's pages
-        chunk_tokens,  # sequence of int — steps*c prompt tokens to prefill
+        schedule,  # list[MixedStep | None], len == steps
+        chunk: int,  # c — prefill tokens per step (must divide page_size)
         *,
         temp: float = 0.0,
         top_k: int | None = None,
         top_p: float | None = None,
         rng: jax.Array | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """`steps` decode tokens for every active slot AND len(chunk_tokens)
-        prefill tokens of the pending request in ONE dispatch + ONE fetch
-        (the mixed prefill+decode step program — forward_mixed_burst_paged).
-        Returns (tokens [steps, B] int32, p_logits [V] f32 — the logits
-        after the chunk's last token). Slots advance by `steps`, the
-        pending cache by len(chunk_tokens)."""
+        """`steps` decode tokens for every active slot AND up to
+        steps*chunk prefill tokens across the scheduled requests in ONE
+        dispatch + ONE fetch (forward_mixed_burst_paged). `schedule[t]`
+        names the request sub-chunk step t prefills (None = idle prefill
+        row). Returns (decode tokens [steps, B] int32, completion tokens
+        [steps] int32 — valid at steps whose sub-chunk ends its prompt).
+        Slots advance by `steps`; each scheduled cache advances by its
+        real token count."""
         from ..kv.paged import PagedBatchingKVCache
 
         assert isinstance(cache, PagedBatchingKVCache)
         assert temp == 0 or rng is not None, "sampled burst needs rng"
-        C = len(chunk_tokens)
-        assert steps > 0 and C > 0 and C % steps == 0, (steps, C)
-        c = C // steps
+        assert steps > 0 and len(schedule) == steps
         pool = cache.pool
-        assert pending_cache.pool is pool, "pending must share the pool"
-        p_off0 = pending_cache.offset
+        ps = pool.page_size
         # Single-page sub-chunk writes (one in-place DUS per layer) need
-        # every sub-chunk inside one page: c | page_size and an aligned
-        # starting offset. The scheduler gates on the same conditions.
-        assert c <= pool.page_size and pool.page_size % c == 0, (
-            f"mixed chunk {c} must divide page size {pool.page_size}"
-        )
-        assert p_off0 % c == 0, (
-            f"pending offset {p_off0} must be a multiple of the mixed "
-            f"chunk {c}"
-        )
+        # every sub-chunk inside one page: c | page_size and c-aligned
+        # offsets. The scheduler maintains the same invariants.
+        assert 0 < chunk <= ps and ps % chunk == 0, (chunk, ps)
         for s in cache.slots:
             if s is not None:
                 s.ensure_capacity(s.offset + steps)
-        pending_cache.ensure_capacity(p_off0 + C)
-        table_np = cache.block_table(self._paged_width)
-        p_table = np.asarray(
-            [pending_cache.block_table_row(self._paged_width)], np.int32
-        )
-        toks, p_logit, kp, vp = self._mixed_burst_jit(
+        width = self._paged_width
+        table_np = cache.block_table(width)
+        p_chunks = np.zeros((steps, chunk), np.int32)
+        p_offsets = np.zeros((steps,), np.int32)
+        p_tables = np.full((steps, width), -1, np.int32)
+        p_last = np.zeros((steps,), np.int32)
+        p_keys = [] if temp > 0 else None
+        for t, entry in enumerate(schedule):
+            if entry is None:
+                if p_keys is not None:
+                    p_keys.append(rng)  # unused draw; any key
+                continue
+            r = len(entry.tokens)
+            assert 0 < r <= chunk and entry.offset % chunk == 0, (
+                r, chunk, entry.offset,
+            )
+            assert entry.cache.pool is pool, "schedule must share the pool"
+            entry.cache.ensure_capacity(entry.offset + r)
+            p_chunks[t, :r] = entry.tokens
+            p_offsets[t] = entry.offset
+            p_tables[t] = entry.cache.block_table_row(width)
+            p_last[t] = r - 1
+            if p_keys is not None:
+                p_keys.append(
+                    entry.sample_key if entry.sample_key is not None else rng
+                )
+        toks, comp, kp, vp = self._mixed_burst_jit(
             self.params,
             rope_tabs=self._rope_tables,
             tokens0=jnp.asarray(first_tokens, jnp.int32),
@@ -1524,13 +1567,11 @@ class Qwen3Model:
             key_pages=pool.key_pages,
             value_pages=pool.value_pages,
             block_table=jnp.asarray(table_np),
-            p_chunks=jnp.asarray(
-                np.asarray(chunk_tokens, np.int32).reshape(steps, c)
-            ),
-            p_offsets=jnp.asarray(
-                p_off0 + np.arange(steps, dtype=np.int32) * c
-            ),
-            p_block_table=jnp.asarray(p_table),
+            p_chunks=jnp.asarray(p_chunks),
+            p_offsets=jnp.asarray(p_offsets),
+            p_tables=jnp.asarray(p_tables),
+            p_last=jnp.asarray(p_last),
+            p_keys=jnp.stack(p_keys) if p_keys is not None else None,
             steps=steps,
             temp=temp,
             top_k=top_k,
@@ -1538,12 +1579,14 @@ class Qwen3Model:
             rng0=rng,
         )
         pool.update_tensors(kp, vp)
-        toks, p_logit = jax.device_get((toks, p_logit))
+        toks, comp = jax.device_get((toks, comp))
         for s in cache.slots:
             if s is not None:
                 s.advance(steps)
-        pending_cache.advance(C)
-        return np.asarray(toks, np.int32), np.asarray(p_logit, np.float32)
+        for entry in schedule:
+            if entry is not None:
+                entry.cache.advance(len(entry.tokens))
+        return np.asarray(toks, np.int32), np.asarray(comp, np.int32)
 
     def _call_paged(self, inputs, offset, cache, logits_to_keep):
         from ..kv.paged import PagedBatchingKVCache, PagedKVCache

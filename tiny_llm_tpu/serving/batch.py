@@ -223,19 +223,35 @@ def batch_generate(
         # chunk must divide the page size (models/qwen3.py mixed_burst).
         and model.page_pool.page_size % mixed_chunk == 0
     )
+    # Requests whose prefill completed INSIDE a mixed burst, waiting for
+    # a free decode slot.
+    ready: list[Request] = []
+
+    def try_install(req: Request) -> bool:
+        free_slots = [i for i in range(batch_size) if decode_requests[i] is None]
+        if hasattr(kv_cache, "choose_slot"):
+            slot = kv_cache.choose_slot(req.kv_cache, free_slots)
+        else:
+            slot = free_slots[0] if free_slots else None
+        if slot is None:
+            return False
+        kv_cache.add_request(req.kv_cache, slot)
+        if not getattr(kv_cache, "owns_added_requests", False):
+            req.kv_cache.release()
+        decode_requests[slot] = req
+        return True
 
     def mixed_handles_prefill() -> bool:
         """True when THIS iteration's burst will advance the pending
-        prefill as a mixed step (so the classic chunk loop must leave it
-        alone)."""
+        prefill as mixed steps (so the classic chunk loop must leave it
+        alone). Misaligned offsets (a classic bootstrap chunk smaller
+        than the mixed chunk ran first) fall back to the classic path."""
         return (
             mixed_ok
             and pending is not None
             and not pending.is_prefill_done
             and pending.offset % mixed_chunk == 0
             and any(r is not None for r in decode_requests)
-            and len(pending.prefill_tokens) - pending.offset
-            >= decode_burst * mixed_chunk
         )
 
     while True:
