@@ -178,15 +178,17 @@ def batch_generate(
     arithmetic — see bench.py --mode serving --arrival-rate.
 
     `mixed_prefill=True` replaces the serialize-then-burst schedule with
-    MIXED prefill+decode step programs when a pending prefill coexists
-    with active decode slots: each burst dispatch also advances the
-    pending prompt by decode_burst * mixed_chunk tokens, riding the
-    decode steps' weight stream (models/qwen3.py
-    forward_mixed_burst_paged). Admission stops serializing with decode —
-    the structural fix for the admission-bound operating curve
-    (docs/serving.md). Chunks smaller than one mixed stride (prompt
-    remainders, bootstrap before any slot is active) still take the
-    classic path.
+    MIXED prefill+decode step programs when queued prompts coexist with
+    active decode slots: each of a burst's decode_burst scan steps also
+    runs one mixed_chunk-token prefill sub-chunk through the same weight
+    stream (models/qwen3.py forward_mixed_burst_paged). The per-burst
+    schedule streams several prompts back-to-back — when the pending
+    prompt ends mid-burst its first completion token is drawn in-kernel
+    and the NEXT queued prompt is admitted into the remaining steps.
+    Admission stops serializing with decode — the structural fix for the
+    admission-bound operating curve (docs/serving.md). Misaligned
+    offsets (a classic bootstrap chunk ran first) and bootstrap before
+    any slot is active still take the classic path.
     """
     del use_paged  # the cache objects carry the paged/dense distinction
     sampler = make_sampler(temp, top_p, top_k) if temp > 0 else None
@@ -255,8 +257,19 @@ def batch_generate(
         )
 
     while True:
-        if not queue and all(r is None for r in decode_requests) and pending is None:
+        if (
+            not queue
+            and all(r is None for r in decode_requests)
+            and pending is None
+            and not ready
+        ):
             break
+
+        # Requests whose prefill completed inside a mixed burst move into
+        # decode slots as soon as one frees (FIFO; placement-constrained
+        # caches may veto — they wait for a compatible slot).
+        while ready and try_install(ready[0]):
+            ready.pop(0)
 
         # Open-loop idle: nothing in flight and the next request hasn't
         # arrived yet — sleep until it does (bounded naps so a
@@ -264,6 +277,7 @@ def batch_generate(
         if (
             queue
             and pending is None
+            and not ready
             and all(r is None for r in decode_requests)
         ):
             wait = queue[0][2] - (time.monotonic() - start)
@@ -360,37 +374,91 @@ def batch_generate(
                 and getattr(kv_cache, "owns_added_requests", False)
             )
             if mixed_handles_prefill():
-                # Mixed step program: this burst ALSO advances the
-                # pending prefill by decode_burst * mixed_chunk tokens
-                # through the same weight stream.
-                chunk = pending.prefill_tokens[
-                    pending.offset : pending.offset
-                    + decode_burst * mixed_chunk
-                ]
+                # Mixed step program: this burst ALSO advances queued
+                # prompts through the same weight stream. The schedule
+                # assigns each of the burst's `decode_burst` steps one
+                # mixed_chunk-token sub-chunk: first the pending
+                # request's remaining prompt, then — when it ends mid-
+                # burst — the next arrived prompts back-to-back, admitted
+                # straight into the burst (models/qwen3.py mixed_burst).
+                from ..models.qwen3 import MixedStep
+
+                schedule: list = [None] * decode_burst
+                finishing: list[tuple[int, Request]] = []
+                cur = pending
+                pending = None
+                for t in range(decode_burst):
+                    if cur is None:
+                        if not (
+                            queue
+                            and time.monotonic() - start >= queue[0][2]
+                        ):
+                            break
+                        idx, prompt, arr_rel = queue[0]
+                        try:
+                            cur = Request(
+                                model, tokenizer, prompt, prefill_step,
+                                idx, sampler=sampler,
+                                rng=(
+                                    jax.random.fold_in(base_key, idx)
+                                    if sampler is not None
+                                    else None
+                                ),
+                                arrival_t=start + arr_rel,
+                            )
+                        except PoolExhausted:
+                            # Pool backpressure mid-burst: the prompt
+                            # stays queued; retiring requests free pages
+                            # before the next attempt.
+                            break
+                        queue.pop(0)
+                    remaining = len(cur.prefill_tokens) - cur.offset
+                    r = min(mixed_chunk, remaining)
+                    key = None
+                    if r == remaining and cur.sampler is not None:
+                        # Same split discipline as the classic path's
+                        # post-prefill draw — reproducible across modes.
+                        cur.rng, key = jax.random.split(cur.rng)
+                    schedule[t] = MixedStep(
+                        cache=cur.kv_cache,
+                        tokens=cur.prefill_tokens[
+                            cur.offset : cur.offset + r
+                        ],
+                        offset=cur.offset,
+                        sample_key=key,
+                    )
+                    cur.offset += r
+                    if cur.offset == len(cur.prefill_tokens):
+                        cur.is_prefill_done = True
+                        finishing.append((t, cur))
+                        cur = None
+                pending = cur
                 if sampler is not None:
                     base_key, sub = jax.random.split(base_key)
-                    toks, p_logit = model.mixed_burst(
+                    toks, comp = model.mixed_burst(
                         kv_cache, np.asarray(next_tokens, np.int32),
-                        decode_burst, pending.kv_cache, chunk,
+                        decode_burst, schedule, mixed_chunk,
                         temp=temp, top_k=top_k, top_p=top_p, rng=sub,
                     )
                 else:
-                    toks, p_logit = model.mixed_burst(
+                    toks, comp = model.mixed_burst(
                         kv_cache, np.asarray(next_tokens, np.int32),
-                        decode_burst, pending.kv_cache, chunk,
+                        decode_burst, schedule, mixed_chunk,
                     )
-                pending.offset += len(chunk)
-                if pending.offset == len(pending.prefill_tokens):
-                    pending.is_prefill_done = True
-                    if pending.sampler is not None:
-                        pending.rng, sub = jax.random.split(pending.rng)
-                        lp = jax.nn.log_softmax(
-                            jnp.asarray(p_logit)[None], axis=-1
-                        )
-                        tok = int(np.asarray(pending.sampler(lp, sub))[0])
+                for t, req in finishing:
+                    # comp[t] is the request's first completion token,
+                    # drawn in-kernel at its sub-chunk's last real row
+                    # (with req's own key under temp > 0).
+                    req.decode_done(int(comp[t]), update_offset=False)
+                    if req.is_done:
+                        # EOS directly after prefill; never occupies a
+                        # decode slot.
+                        result.append((req.prompt_idx, req.text()))
+                        if metrics is not None:
+                            metrics.observe_request(req)
+                        req.kv_cache.release()
                     else:
-                        tok = int(np.argmax(p_logit))
-                    pending.decode_done(tok, update_offset=False)
+                        ready.append(req)
             elif can_burst:
                 if sampler is not None:
                     base_key, sub = jax.random.split(base_key)
